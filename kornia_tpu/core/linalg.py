@@ -1,0 +1,170 @@
+"""Numerically-robust linear algebra primitives for TPU (f64-free).
+
+TPU-native replacements for the reference's f64-promotion helpers
+(kornia/core/utils.py: _torch_svd_cast:232, _torch_solve_cast:273,
+safe_solve_with_mask:295, safe_inverse_with_mask:320,
+_inverse_3x3_closed_form:137). Instead of promoting to f64 (unavailable on
+the TPU MXU), we use algorithmic conditioning:
+
+  * row/column equilibration before solves,
+  * one step of iterative refinement after an f32 solve,
+  * closed-form cofactor inverses for 2x2/3x3,
+  * masked "safe" variants that return a validity mask instead of raising.
+
+All functions are batched over leading dims and jit/vmap/grad-closed.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "det_2x2",
+    "det_3x3",
+    "inverse_2x2",
+    "inverse_3x3",
+    "safe_solve_with_mask",
+    "safe_inverse_with_mask",
+    "solve_refined",
+    "lstsq_nullspace",
+    "eigh_smallest",
+    "symeig_3x3",
+]
+
+_EPS = 1e-12
+
+
+def det_2x2(m: jax.Array) -> jax.Array:
+    return m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+
+
+def det_3x3(m: jax.Array) -> jax.Array:
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def inverse_2x2(m: jax.Array, eps: float = _EPS) -> jax.Array:
+    det = det_2x2(m)[..., None, None]
+    adj = jnp.stack(
+        [
+            jnp.stack([m[..., 1, 1], -m[..., 0, 1]], axis=-1),
+            jnp.stack([-m[..., 1, 0], m[..., 0, 0]], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / (det + jnp.where(det >= 0, eps, -eps))
+
+
+def inverse_3x3(m: jax.Array, eps: float = _EPS) -> jax.Array:
+    """Closed-form cofactor inverse (reference: core/utils.py:137)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    det = det[..., None, None]
+    adj_t = jnp.stack(
+        [
+            jnp.stack([A, D, G], axis=-1),
+            jnp.stack([B, E, H], axis=-1),
+            jnp.stack([C, F, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj_t / (det + jnp.where(det >= 0, eps, -eps))
+
+
+def _equilibrate(A: jax.Array, b: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Row-scale A (and b) by max-abs so the f32 LU is better conditioned."""
+    scale = jnp.max(jnp.abs(A), axis=-1, keepdims=True)
+    scale = jnp.where(scale > 0, scale, 1.0)
+    return A / scale, b / scale, scale
+
+
+def solve_refined(A: jax.Array, b: jax.Array, iters: int = 1) -> jax.Array:
+    """f32 solve with row equilibration + `iters` steps of iterative refinement.
+
+    TPU replacement for the reference's f64-promoted solve
+    (core/utils.py:_torch_solve_cast:273).
+    """
+    As, bs, _ = _equilibrate(A, b)
+    x = jnp.linalg.solve(As, bs)
+    for _ in range(iters):
+        r = bs - As @ x
+        x = x + jnp.linalg.solve(As, r)
+    return x
+
+
+def safe_solve_with_mask(B: jax.Array, A: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Solve A X = B returning (X, A_LU_placeholder, valid_mask).
+
+    Mirrors the reference API (core/utils.py:295): instead of raising on a
+    singular batch element, return a boolean mask of which solves are valid.
+    """
+    As, Bs, _ = _equilibrate(A, B)
+    det = jnp.linalg.det(As)
+    ok = jnp.abs(det) > _EPS
+    # Guard singular systems with identity so the solve never produces inf/nan
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    A_safe = jnp.where(ok[..., None, None], As, eye)
+    X = jnp.linalg.solve(A_safe, Bs)
+    r = Bs - A_safe @ X
+    X = X + jnp.linalg.solve(A_safe, r)
+    X = jnp.where(ok[..., None, None], X, jnp.zeros_like(X))
+    ok = ok & jnp.all(jnp.isfinite(X), axis=(-2, -1))
+    return X, A_safe, ok
+
+
+def safe_inverse_with_mask(A: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Batched inverse with validity mask (reference: core/utils.py:320)."""
+    n = A.shape[-1]
+    if n == 2:
+        inv = inverse_2x2(A)
+        ok = jnp.abs(det_2x2(A)) > _EPS
+    elif n == 3:
+        inv = inverse_3x3(A)
+        ok = jnp.abs(det_3x3(A)) > _EPS
+    else:
+        det = jnp.linalg.det(A)
+        ok = jnp.abs(det) > _EPS
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+        inv = jnp.linalg.inv(jnp.where(ok[..., None, None], A, eye))
+    inv = jnp.where(ok[..., None, None], inv, jnp.zeros_like(inv))
+    return inv, ok
+
+
+def lstsq_nullspace(A: jax.Array) -> jax.Array:
+    """Unit null vector of A (..., M, N): right-singular vector of the
+    smallest singular value, computed via eigh of AᵀA for TPU friendliness
+    (symmetric eig is faster and more stable on TPU than full SVD).
+
+    The Gram matrix squares the condition number, so callers MUST normalize
+    (e.g. Hartley normalization) first — our DLT/8-point solvers do.
+    """
+    AtA = jnp.einsum("...mi,...mj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    return vecs[..., :, 0]
+
+
+def eigh_smallest(S: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(eigenvalue, eigenvector) of the smallest eigenvalue of symmetric S."""
+    vals, vecs = jnp.linalg.eigh(S)
+    return vals[..., 0], vecs[..., :, 0]
+
+
+def symeig_3x3(S: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Eigendecomposition of a batched symmetric 3x3 (ascending)."""
+    return jnp.linalg.eigh(S)
