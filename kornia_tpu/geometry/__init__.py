@@ -1,0 +1,19 @@
+from . import (
+    calibration,
+    camera,
+    conversions,
+    depth,
+    epipolar,
+    homography,
+    liegroup,
+    linalg,
+    ransac,
+    solvers,
+    subpix,
+)
+from .conversions import *  # noqa: F401,F403
+from .homography import *  # noqa: F401,F403
+from .linalg import *  # noqa: F401,F403
+from .liegroup import Quaternion, Se2, Se3, So2, So3
+from .ransac import RANSAC, RansacResult
+from .subpix import *  # noqa: F401,F403

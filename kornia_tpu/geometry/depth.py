@@ -1,0 +1,126 @@
+"""Depth-map geometry (reference: kornia/geometry/depth.py, 617 LoC)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.check import check, check_shape
+from ..core.dtype import as_float
+from ..core.grid import create_meshgrid
+from .camera import cam2pixel, pixel2cam
+from .linalg import inverse_transformation
+
+__all__ = [
+    "depth_to_3d",
+    "depth_to_3d_v2",
+    "depth_to_normals",
+    "depth_from_disparity",
+    "depth_from_plane_equation",
+    "warp_frame_depth",
+    "unproject_meshgrid",
+]
+
+
+def unproject_meshgrid(height: int, width: int, camera_matrix: jax.Array
+                       ) -> jax.Array:
+    """(H, W, 3) rays on the z=1 plane for every pixel."""
+    grid = create_meshgrid(height, width, False, camera_matrix.dtype)[0]
+    fx = camera_matrix[..., 0, 0]
+    fy = camera_matrix[..., 1, 1]
+    cx = camera_matrix[..., 0, 2]
+    cy = camera_matrix[..., 1, 2]
+    x = (grid[..., 0] - cx[..., None, None]) / fx[..., None, None]
+    y = (grid[..., 1] - cy[..., None, None]) / fy[..., None, None]
+    return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+
+
+def depth_to_3d(depth: jax.Array, camera_matrix: jax.Array,
+                normalize_points: bool = False) -> jax.Array:
+    """(B, 1, H, W) depth → (B, 3, H, W) camera-frame points
+    (reference: depth.py:100)."""
+    check_shape(depth, ["B", "1", "H", "W"], "depth")
+    depth = as_float(depth)
+    B, _, H, W = depth.shape
+    rays = unproject_meshgrid(H, W, camera_matrix)  # (B?, H, W, 3)
+    if rays.ndim == 3:
+        rays = rays[None]
+    if normalize_points:
+        rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    pts = rays * depth[:, 0, :, :, None]
+    return jnp.moveaxis(pts, -1, 1)
+
+
+def depth_to_3d_v2(depth: jax.Array, camera_matrix: jax.Array,
+                   normalize_points: bool = False) -> jax.Array:
+    """(..., H, W) depth → (..., H, W, 3) (reference: depth.py:148)."""
+    depth = as_float(depth)
+    H, W = depth.shape[-2:]
+    rays = unproject_meshgrid(H, W, camera_matrix)
+    if normalize_points:
+        rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    return rays * depth[..., None]
+
+
+def depth_to_normals(depth: jax.Array, camera_matrix: jax.Array,
+                     normalize_points: bool = False) -> jax.Array:
+    """Surface normals from depth via gradient cross products
+    (reference: depth.py:195)."""
+    pts = depth_to_3d(depth, camera_matrix, normalize_points)  # (B, 3, H, W)
+    dx = jnp.gradient(pts, axis=-1)
+    dy = jnp.gradient(pts, axis=-2)
+    normals = jnp.cross(jnp.moveaxis(dx, 1, -1), jnp.moveaxis(dy, 1, -1))
+    n = jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    normals = normals / jnp.maximum(n, 1e-8)
+    return jnp.moveaxis(normals, -1, 1)
+
+
+def depth_from_disparity(disparity: jax.Array, baseline, focal) -> jax.Array:
+    """(reference: depth.py:579)."""
+    disparity = as_float(disparity)
+    baseline = jnp.asarray(baseline, disparity.dtype)
+    focal = jnp.asarray(focal, disparity.dtype)
+    return baseline * focal / jnp.where(jnp.abs(disparity) > 1e-8, disparity, 1e-8)
+
+
+def depth_from_plane_equation(plane_normals: jax.Array,
+                              plane_offsets: jax.Array,
+                              points_uv: jax.Array,
+                              camera_matrix: jax.Array,
+                              eps: float = 1e-8) -> jax.Array:
+    """Depth of pixels under a plane hypothesis (reference: depth.py:235).
+    plane_normals (B, 3), plane_offsets (B, 1), points_uv (B, N, 2)."""
+    fx = camera_matrix[..., 0, 0][..., None]
+    fy = camera_matrix[..., 1, 1][..., None]
+    cx = camera_matrix[..., 0, 2][..., None]
+    cy = camera_matrix[..., 1, 2][..., None]
+    x = (points_uv[..., 0] - cx) / fx
+    y = (points_uv[..., 1] - cy) / fy
+    denom = (plane_normals[..., 0:1] * x + plane_normals[..., 1:2] * y
+             + plane_normals[..., 2:3])
+    return plane_offsets / jnp.where(jnp.abs(denom) > eps, denom, eps)
+
+
+def warp_frame_depth(image_src: jax.Array, depth_dst: jax.Array,
+                     src_trans_dst: jax.Array, camera_matrix: jax.Array,
+                     normalize_points: bool = False) -> jax.Array:
+    """Warp src into the dst frame using dst depth + relative pose
+    (reference: depth.py:279). The epipolar view-synthesis primitive."""
+    check_shape(image_src, ["B", "C", "H", "W"], "image_src")
+    image_src = as_float(image_src)
+    B, C, H, W = image_src.shape
+    pts_dst = depth_to_3d(depth_dst, camera_matrix, normalize_points)  # (B,3,H,W)
+    pts = jnp.moveaxis(pts_dst, 1, -1).reshape(B, -1, 3)
+    R = src_trans_dst[..., :3, :3]
+    t = src_trans_dst[..., :3, 3]
+    pts_src = jnp.einsum("bij,bnj->bni", R, pts) + t[:, None, :]
+    from .camera import project_points
+    uv = project_points(pts_src, camera_matrix[..., None, :, :])
+    uv = uv.reshape(B, H, W, 2)
+    gx = 2.0 * uv[..., 0] / max(W - 1, 1) - 1.0
+    gy = 2.0 * uv[..., 1] / max(H - 1, 1) - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)
+    from ..ops.warp import grid_sample
+    return grid_sample(image_src, grid, "bilinear", "zeros", True)

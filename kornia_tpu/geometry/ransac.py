@@ -1,0 +1,233 @@
+"""Batched RANSAC for homography / fundamental / essential estimation
+(reference: kornia/geometry/ransac.py:42-408).
+
+TPU-first design: the reference iterates a Python loop with early stop by
+confidence (ransac.py:343-408). Here the whole estimator is ONE jitted
+program:
+
+  * all `batch_size` minimal samples of all `max_iterations` rounds are
+    drawn up front with `jax.random` (shape-static),
+  * model estimation is the vmapped minimal solver (embarrassingly
+    parallel — this is where TPUs shine),
+  * scoring is one big (models x points) error matrix → MSAC soft score,
+  * early stop becomes a *mask*: rounds whose cumulative sample count
+    exceeds the confidence bound contribute nothing (matching the
+    reference's stopping semantics without dynamic control flow),
+  * the best model is polished by iteratively-reweighted least squares on
+    its inlier set (reference's local-optimization step :383-393).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtype import as_float
+from .epipolar import (
+    find_fundamental,
+    run_5point,
+    run_8point,
+    sampson_epipolar_distance,
+    symmetrical_epipolar_distance,
+)
+from .homography import (
+    find_homography_dlt,
+    find_homography_dlt_iterated,
+    sample_is_valid_for_homography,
+    symmetric_transfer_error,
+)
+
+__all__ = ["RansacResult", "ransac", "RANSAC"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RansacResult:
+    model: jax.Array  # (3, 3) best model
+    inliers: jax.Array  # (N,) bool
+    score: jax.Array  # scalar MSAC score
+    inlier_count: jax.Array  # scalar
+
+    def tree_flatten(self):
+        return (self.model, self.inliers, self.score, self.inlier_count), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+_CONFIGS = {
+    "homography": dict(minimal=4, models_per_sample=1),
+    "fundamental": dict(minimal=8, models_per_sample=1),
+    "fundamental_7pt": dict(minimal=7, models_per_sample=3),
+    "essential": dict(minimal=5, models_per_sample=20),
+}
+
+
+def _estimate(model_type: str, p1: jax.Array, p2: jax.Array) -> jax.Array:
+    """(S, m, 2) x2 → (S, K, 3, 3) candidate models per sample."""
+    if model_type == "homography":
+        return find_homography_dlt(p1, p2)[:, None]
+    if model_type == "fundamental":
+        return run_8point(p1, p2)[:, None]
+    if model_type == "fundamental_7pt":
+        from .epipolar import run_7point
+        return run_7point(p1, p2)
+    if model_type == "essential":
+        return run_5point(p1, p2)
+    raise ValueError(f"unknown model type {model_type}")
+
+
+def _error(model_type: str, p1: jax.Array, p2: jax.Array, M: jax.Array
+           ) -> jax.Array:
+    """Squared residual of every point under every model:
+    M (K, 3, 3), points (N, 2) → (K, N)."""
+    if model_type == "homography":
+        return symmetric_transfer_error(p1[None], p2[None], M, squared=True)
+    return symmetrical_epipolar_distance(p1[None], p2[None], M, squared=True)
+
+
+def _sample_validity(model_type: str, p1: jax.Array, p2: jax.Array) -> jax.Array:
+    if model_type == "homography":
+        return sample_is_valid_for_homography(p1, p2)
+    return jnp.ones(p1.shape[0], dtype=bool)
+
+
+def max_samples_by_conf(n_inl: jax.Array, num_tc: int, sample_size: int,
+                        conf: float) -> jax.Array:
+    """Confidence-based sample bound (reference: ransac.py:170)."""
+    eps = 1e-9
+    ratio = jnp.clip(n_inl.astype(jnp.float32) / num_tc, eps, 1.0 - eps)
+    return jnp.log(1.0 - conf) / jnp.minimum(
+        jnp.log1p(-(ratio**sample_size)), -eps)
+
+
+@partial(jax.jit, static_argnames=("model_type", "batch_size",
+                                   "max_iterations", "polish_iters"))
+def ransac(
+    points1: jax.Array,
+    points2: jax.Array,
+    key: jax.Array,
+    model_type: str = "homography",
+    inl_th: float = 2.0,
+    batch_size: int = 2048,
+    max_iterations: int = 10,
+    confidence: float = 0.99,
+    polish_iters: int = 3,
+    mask: Optional[jax.Array] = None,
+) -> RansacResult:
+    """Single-pair robust estimation; vmap over pairs for batching.
+
+    points: (N, 2). `mask` (N,) marks valid correspondences (padded
+    entries False) — supports the framework's padded-K pipelines.
+    """
+    points1 = as_float(points1)
+    points2 = as_float(points2)
+    N = points1.shape[0]
+    cfg = _CONFIGS[model_type]
+    m = cfg["minimal"]
+    if mask is None:
+        mask = jnp.ones(N, dtype=bool)
+    valid_count = jnp.sum(mask)
+
+    # --- draw all samples up-front: (T, S, m) indices -----------------------
+    T, S = max_iterations, batch_size
+    # Gumbel top-k trick over masked logits → m distinct valid indices
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (T * S, N)) + logits
+    _, idx = jax.lax.top_k(g, m)  # (T*S, m)
+    p1s = points1[idx]  # (T*S, m, 2)
+    p2s = points2[idx]
+
+    sample_ok = _sample_validity(model_type, p1s, p2s)
+
+    # --- estimate models (vmapped minimal solver) ---------------------------
+    models = _estimate(model_type, p1s, p2s)  # (T*S, K, 3, 3)
+    K = models.shape[1]
+    models = models.reshape(T * S * K, 3, 3)
+    model_ok = jnp.repeat(sample_ok, K) & (
+        jnp.linalg.norm(models.reshape(-1, 9), axis=-1) > 1e-6)
+
+    # --- score: MSAC --------------------------------------------------------
+    errs = _error(model_type, points1, points2, models)  # (T*S*K, N)
+    th2 = inl_th * inl_th
+    errs = jnp.where(mask[None, :], errs, th2)  # padded points score as outliers
+    msac = jnp.sum(jnp.clip(errs, 0.0, th2), axis=-1)  # lower is better
+    inl_counts = jnp.sum((errs < th2) & mask[None, :], axis=-1)
+    msac = jnp.where(model_ok, msac, jnp.inf)
+
+    # --- early-stop mask (confidence semantics without dynamic loop) --------
+    # best inlier count after each round r; rounds beyond the bound of the
+    # best-so-far are masked out, reproducing the reference's early exit.
+    per_round_best = jnp.max(inl_counts.reshape(T, S * K), axis=-1)
+    best_so_far = jax.lax.cummax(per_round_best)
+    bound = max_samples_by_conf(
+        jnp.concatenate([jnp.zeros(1, best_so_far.dtype), best_so_far[:-1]]),
+        N, m, confidence)
+    round_active = (jnp.arange(T, dtype=jnp.float32) * S) <= bound
+    active_mask = jnp.repeat(round_active, S * K)
+    msac = jnp.where(active_mask, msac, jnp.inf)
+
+    best_idx = jnp.argmin(msac)
+    best_model = models[best_idx]
+    best_score = msac[best_idx]
+
+    # --- polish (IRLS on inliers, reference's local optimization) -----------
+    def polish(model):
+        err = _error(model_type, points1, points2, model[None])[0]
+        w = jnp.where((err < th2) & mask, 1.0, 0.0)
+        if model_type == "homography":
+            return find_homography_dlt_iterated(
+                points1[None], points2[None], w[None], n_iter=polish_iters)[0]
+        if model_type in ("fundamental", "fundamental_7pt"):
+            return run_8point(points1[None], points2[None], w[None])[0]
+        # essential: weighted 8-point then project to essential manifold
+        F = run_8point(points1[None], points2[None], w[None])[0]
+        U, _, Vt = jnp.linalg.svd(F)
+        S_ = jnp.array([1.0, 1.0, 0.0], F.dtype)
+        return (U * S_[None, :]) @ Vt
+
+    polished = polish(best_model)
+    err_p = _error(model_type, points1, points2, polished[None])[0]
+    msac_p = jnp.sum(jnp.where(mask, jnp.clip(err_p, 0, th2), th2))
+    use_polished = msac_p < best_score
+    final = jnp.where(use_polished, polished, best_model)
+    final_err = _error(model_type, points1, points2, final[None])[0]
+    inliers = (final_err < th2) & mask
+    return RansacResult(
+        model=final,
+        inliers=inliers,
+        score=jnp.minimum(msac_p, best_score),
+        inlier_count=jnp.sum(inliers),
+    )
+
+
+class RANSAC:
+    """Module-style wrapper mirroring the reference API
+    (geometry/ransac.py:42)."""
+
+    def __init__(self, model_type: str = "homography", inl_th: float = 2.0,
+                 batch_size: int = 2048, max_iter: int = 10,
+                 confidence: float = 0.99, max_lo_iters: int = 5):
+        self.model_type = model_type
+        self.inl_th = inl_th
+        self.batch_size = batch_size
+        self.max_iter = max_iter
+        self.confidence = confidence
+        self.max_lo_iters = max_lo_iters
+
+    def __call__(self, kp1: jax.Array, kp2: jax.Array,
+                 key: Optional[jax.Array] = None,
+                 mask: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, jax.Array]:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        res = ransac(kp1, kp2, key, self.model_type, self.inl_th,
+                     self.batch_size, self.max_iter, self.confidence,
+                     self.max_lo_iters, mask)
+        return res.model, res.inliers

@@ -1,0 +1,209 @@
+"""Batched closed-form polynomial solvers
+(reference: kornia/geometry/solvers/polynomial_solver.py, 2.1k LoC).
+
+TPU note: the reference's 5-point solver finds roots of a degree-10
+polynomial with a companion-matrix eigendecomposition, which needs a
+*nonsymmetric* eig — unavailable in XLA on TPU. We instead provide
+:func:`poly_roots`, a batched Durand-Kerner (Weierstrass) iteration in
+complex f32: a fixed-trip-count, fully vectorized root finder that runs on
+the VPU and is differentiable.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtype import as_float
+
+__all__ = [
+    "solve_quadratic",
+    "solve_cubic",
+    "solve_quartic",
+    "poly_roots",
+    "multiply_deg_one_poly",
+    "multiply_deg_two_one_poly",
+]
+
+_EPS = 1e-12
+
+
+def solve_quadratic(coeffs: jax.Array) -> jax.Array:
+    """Real roots of a x² + b x + c (B, 3) → (B, 2); zeros when complex
+    (reference: polynomial_solver.py:28)."""
+    coeffs = as_float(coeffs)
+    a, b, c = coeffs[..., 0], coeffs[..., 1], coeffs[..., 2]
+    disc = b * b - 4.0 * a * c
+    has_real = disc >= 0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # numerically-stable form: avoid catastrophic cancellation
+    q = -0.5 * (b + jnp.sign(b + (b == 0)) * sq)
+    a_safe = jnp.where(jnp.abs(a) > _EPS, a, 1.0)
+    q_safe = jnp.where(jnp.abs(q) > _EPS, q, 1.0)
+    r1 = jnp.where(jnp.abs(a) > _EPS, q / a_safe, -c / q_safe)
+    r2 = jnp.where(jnp.abs(q) > _EPS, c / q_safe, r1)
+    r1 = jnp.where(has_real, r1, 0.0)
+    r2 = jnp.where(has_real, r2, 0.0)
+    return jnp.stack([r1, r2], axis=-1)
+
+
+def solve_cubic(coeffs: jax.Array) -> jax.Array:
+    """Real roots of a x³ + b x² + c x + d (B, 4) → (B, 3); zeros where
+    fewer real roots (reference: polynomial_solver.py:89). Trigonometric
+    (Cardano/Viète) method, branch-free."""
+    coeffs = as_float(coeffs)
+    a, b, c, d = (coeffs[..., 0], coeffs[..., 1], coeffs[..., 2], coeffs[..., 3])
+    is_cubic = jnp.abs(a) > _EPS
+    a_safe = jnp.where(is_cubic, a, 1.0)
+    # depressed cubic t³ + p t + q, x = t - b/(3a)
+    b_n = b / a_safe
+    c_n = c / a_safe
+    d_n = d / a_safe
+    p = c_n - b_n * b_n / 3.0
+    q = 2.0 * b_n**3 / 27.0 - b_n * c_n / 3.0 + d_n
+    shift = -b_n / 3.0
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3
+    # three real roots (disc <= 0): trigonometric form
+    p_neg = jnp.minimum(p, -1e-12)
+    m = 2.0 * jnp.sqrt(-p_neg / 3.0)
+    arg = jnp.clip(3.0 * q / (p_neg * m), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    k = jnp.arange(3.0)
+    t_trig = m[..., None] * jnp.cos(theta[..., None] - 2.0 * jnp.pi * k / 3.0)
+    # one real root (disc > 0): Cardano
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = jnp.cbrt(-q / 2.0 + sq)
+    v = jnp.cbrt(-q / 2.0 - sq)
+    t_single = u + v
+    roots3 = jnp.where((disc <= 0)[..., None], t_trig,
+                       jnp.stack([t_single, jnp.zeros_like(t_single),
+                                  jnp.zeros_like(t_single)], axis=-1)
+                       + jnp.where((disc <= 0), 0.0, 0.0)[..., None])
+    roots3 = jnp.where((disc <= 0)[..., None], t_trig,
+                       jnp.concatenate([t_single[..., None],
+                                        jnp.zeros((*t_single.shape, 2),
+                                                  t_single.dtype)], axis=-1))
+    roots3 = roots3 + shift[..., None]
+    n_real = jnp.where(disc <= 0, 3, 1)
+    # quadratic fallback when a == 0
+    quad = solve_quadratic(jnp.stack([b, c, d], axis=-1))
+    quad3 = jnp.concatenate([quad, jnp.zeros_like(quad[..., :1])], axis=-1)
+    return jnp.where(is_cubic[..., None], roots3, quad3)
+
+
+def solve_quartic(coeffs: jax.Array) -> jax.Array:
+    """Real roots of a quartic (B, 5) → (B, 4) via poly_roots
+    (reference: polynomial_solver.py:216)."""
+    roots = poly_roots(coeffs)
+    real = jnp.abs(roots.imag) < 1e-4
+    return jnp.where(real, roots.real, 0.0)
+
+
+def poly_roots(coeffs: jax.Array, iters: int = 100) -> jax.Array:
+    """All complex roots of polynomials (..., D+1) (highest degree first)
+    via Durand-Kerner iteration → (..., D) complex64.
+
+    Fixed trip count, batched, runs on TPU (no nonsymmetric eig needed).
+    Coefficients are balanced (variable scaling z = s·u with
+    s = max_k |c_k|^(1/k)) so tiny leading coefficients — common in
+    resultant determinants — don't stall convergence.
+    """
+    coeffs = as_float(coeffs)
+    D = coeffs.shape[-1] - 1
+    lead = coeffs[..., 0:1]
+    lead = jnp.where(jnp.abs(lead) > _EPS, lead, _EPS)
+    monic = coeffs / lead
+
+    # variable scaling: s = max_k |c_k|^(1/k) over monic coeffs
+    ks = jnp.arange(1, D + 1, dtype=coeffs.dtype)
+    mags = jnp.abs(monic[..., 1:])
+    s = jnp.max(jnp.power(jnp.maximum(mags, 1e-30), 1.0 / ks), axis=-1)
+    s = jnp.maximum(s, 1e-6)[..., None]
+    scaled = monic / jnp.power(s, jnp.arange(D + 1, dtype=coeffs.dtype))
+    scaled = (scaled / scaled[..., 0:1]).astype(jnp.complex64)
+
+    # initial guesses: points on a circle with irrational rotation
+    k = jnp.arange(D)
+    init = 1.2 * jnp.exp(2j * jnp.pi * (k / D + 0.127))
+    z = jnp.broadcast_to(init, (*scaled.shape[:-1], D)).astype(jnp.complex64)
+
+    def eval_poly(z):
+        p = jnp.zeros_like(z)
+        for i in range(D + 1):
+            p = p * z + scaled[..., i : i + 1]
+        return p
+
+    def body(z, _):
+        p = eval_poly(z)
+        diff = z[..., :, None] - z[..., None, :]
+        diff = diff + jnp.eye(D, dtype=z.dtype)  # avoid 0 on diagonal
+        denom = jnp.prod(diff, axis=-1)
+        step = p / jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+        step_mag = jnp.abs(step)
+        step = jnp.where(step_mag > 3.0, step * (3.0 / step_mag), step)
+        return z - step, None
+
+    z, _ = jax.lax.scan(body, z, None, length=iters)
+    return z * s.astype(jnp.complex64)
+
+
+def multiply_deg_one_poly(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Multiply two degree-1 polynomials in (x, y, z, 1)
+    (reference: polynomial_solver.py:348). a, b: (..., 4) coeffs
+    [x, y, z, 1] → (..., 10) coeffs
+    [x², xy, xz, x, y², yz, y, z², z, 1]."""
+    ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            ax * bx,
+            ax * by + ay * bx,
+            ax * bz + az * bx,
+            ax * bw + aw * bx,
+            ay * by,
+            ay * bz + az * by,
+            ay * bw + aw * by,
+            az * bz,
+            az * bw + aw * bz,
+            aw * bw,
+        ],
+        axis=-1,
+    )
+
+
+def multiply_deg_two_one_poly(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Multiply a degree-2 poly (10 coeffs as above) by a degree-1 poly
+    (4 coeffs) → degree-3 poly (20 coeffs)
+    (reference: polynomial_solver.py:multiply_deg_two_one_poly).
+
+    Output order: [x³, x²y, x²z, x², xy², xyz, xy, xz², xz, x,
+                   y³, y²z, y², yz², yz, y, z³, z², z, 1]."""
+    (axx, axy, axz, ax, ayy, ayz, ay, azz, az, aw) = [a[..., i] for i in range(10)]
+    bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            axx * bx,
+            axx * by + axy * bx,
+            axx * bz + axz * bx,
+            axx * bw + ax * bx,
+            axy * by + ayy * bx,
+            axy * bz + axz * by + ayz * bx,
+            axy * bw + ax * by + ay * bx,
+            axz * bz + azz * bx,
+            axz * bw + ax * bz + az * bx,
+            ax * bw + aw * bx,
+            ayy * by,
+            ayy * bz + ayz * by,
+            ayy * bw + ay * by,
+            ayz * bz + azz * by,
+            ayz * bw + ay * bz + az * by,
+            ay * bw + aw * by,
+            azz * bz,
+            azz * bw + az * bz,
+            az * bw + aw * bz,
+            aw * bw,
+        ],
+        axis=-1,
+    )
