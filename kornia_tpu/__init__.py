@@ -18,6 +18,9 @@ Layer map (mirrors SURVEY.md §1, all jit/vmap/grad-closed):
 
 __version__ = "0.1.0"
 
-from . import core, ops
+from . import contrib, core, feature, geometry, losses, metrics, ops, parallel, slam
 
-__all__ = ["core", "ops", "__version__"]
+__all__ = [
+    "contrib", "core", "feature", "geometry", "losses", "metrics", "ops",
+    "parallel", "slam", "__version__",
+]

@@ -1,0 +1,29 @@
+from . import detector, hardnet, integrated, laf, matching, orientation, responses, siftdesc
+from .detector import ScaleSpaceDetector, detect_features_single_scale
+from .hardnet import HardNet
+from .integrated import (
+    GFTTAffNetHardNet,
+    LAFDescriptor,
+    LocalFeature,
+    LocalFeatureMatcher,
+    SIFTFeature,
+)
+from .laf import *  # noqa: F401,F403
+from .matching import (
+    DescriptorMatcher,
+    distance_matrix,
+    match_fginn,
+    match_mnn,
+    match_nn,
+    match_smnn,
+    match_snn,
+)
+from .orientation import LAFOrienter, patch_dominant_gradient_orientation
+from .responses import (
+    dog_response,
+    dog_response_single,
+    gftt_response,
+    harris_response,
+    hessian_response,
+)
+from .siftdesc import DenseSIFTDescriptor, SIFTDescriptor

@@ -1,0 +1,145 @@
+"""Multi-scale keypoint detection
+(reference: kornia/feature/scale_space_detector.py, 613 LoC).
+
+TPU-first restructuring of the reference pipeline:
+  * octave shapes differ, so octaves remain a static Python loop (traced
+    once per shape), but within an octave everything is batched: response
+    over all levels at once, 3D NMS + quadratic subpixel refinement over
+    the whole (L, h, w) volume, and a SINGLE fixed-K top-k at the end over
+    the concatenation of all octaves (the reference does per-octave
+    top-k + python bookkeeping).
+  * Output is always (lafs (B, K, 2, 3), responses (B, K), valid (B, K)) —
+    padded fixed K with a validity mask (generalizing the reference's
+    "always num_features" contract, scale_space_detector.py:88-90).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtype import as_float
+from ..geometry.subpix import conv_quad_interp3d, nms3d
+from ..ops.pyramid import ScalePyramid
+from .laf import laf_from_center_scale_ori
+from .responses import gftt_response, harris_response, hessian_response
+
+__all__ = ["ScaleSpaceDetector", "detect_features_single_scale"]
+
+
+def detect_features_single_scale(
+    resp: jax.Array,
+    num_features: int,
+    nms_size: int = 3,
+    minima_are_also_good: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-scale detection: (B, 1, H, W) response → top-K (xy (B, K, 2),
+    response (B, K), valid (B, K))."""
+    from ..geometry.subpix import nms2d
+    resp = as_float(resp)
+    B, C, H, W = resp.shape
+    r = jnp.abs(resp) if minima_are_also_good else resp
+    nmsed = nms2d(r, (nms_size, nms_size))
+    flat = nmsed.reshape(B, -1)
+    vals, idx = jax.lax.top_k(flat, num_features)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    xy = jnp.stack([xs, ys], axis=-1)
+    valid = vals > 0
+    return xy, vals, valid
+
+
+class ScaleSpaceDetector:
+    """SIFT-style multi-scale detector (reference:
+    scale_space_detector.py:373)."""
+
+    def __init__(
+        self,
+        num_features: int = 500,
+        mr_size: float = 6.0,
+        resp: Optional[Callable] = None,
+        scale_pyr: Optional[ScalePyramid] = None,
+        nms_size: int = 3,
+        minima_are_also_good: bool = False,
+        strict_maxima_bonus: float = 10.0,
+    ):
+        self.num_features = num_features
+        self.mr_size = mr_size
+        self.resp = resp if resp is not None else gftt_response
+        self.scale_pyr = scale_pyr if scale_pyr is not None else ScalePyramid(
+            3, 1.6, 15, double_image=False)
+        self.nms_size = nms_size
+        self.minima_are_also_good = minima_are_also_good
+        self.strict_maxima_bonus = strict_maxima_bonus
+
+    def __call__(self, img: jax.Array, n_feats: Optional[int] = None
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """(B, 1, H, W) → (lafs (B, K, 2, 3), responses (B, K), valid)."""
+        img = as_float(img)
+        K_out = n_feats or self.num_features
+        B = img.shape[0]
+        octaves, sigmas, dists = self.scale_pyr(img)
+        all_xy = []
+        all_resp = []
+        all_scale = []
+        for oct_idx, (stack, sig, dist) in enumerate(zip(octaves, sigmas, dists)):
+            Bo, L, C, h, w = stack.shape
+            # response on every level at once (fold L into batch);
+            # scale-normalized derivatives (sigma in octave-local pixels)
+            # keep extrema comparable across levels — without this the 3D
+            # maxima collapse onto the sharpest level
+            flat = stack.reshape(B * L, C, h, w)
+            sig_local = (sig / dist).reshape(B * L, 1, 1, 1)
+            resp = self.resp(flat, sigmas=sig_local)
+            resp = resp.reshape(B, L, C, h, w)[:, :, 0]  # (B, L, h, w)
+            # 3D quadratic localization over (level, y, x)
+            vol = resp[:, None]  # (B, 1, L, h, w)
+            coords, refined = conv_quad_interp3d(
+                vol, self.strict_maxima_bonus)
+            if self.minima_are_also_good:
+                coords_min, refined_min = conv_quad_interp3d(
+                    -vol, self.strict_maxima_bonus)
+                take_min = refined_min > refined
+                refined = jnp.where(take_min, refined_min, refined)
+                coords = jnp.where(take_min[:, :, None], coords_min, coords)
+            nmsed = nms3d(refined, (3, 3, 3))[:, 0]  # (B, L, h, w)
+            # exclude border levels (quad interp invalid there)
+            level_mask = jnp.zeros((L,), bool).at[1:L - 1].set(True)
+            nmsed = jnp.where(level_mask[None, :, None, None], nmsed, -jnp.inf)
+            flat_resp = nmsed.reshape(B, -1)
+            k_oct = min(K_out, flat_resp.shape[-1])
+            vals, idx = jax.lax.top_k(flat_resp, k_oct)
+            # gather refined coords (x, y, s)
+            cflat = coords[:, 0].reshape(B, 3, -1)  # (B, 3, L*h*w)
+            cx = jnp.take_along_axis(cflat[:, 0], idx, axis=-1)
+            cy = jnp.take_along_axis(cflat[:, 1], idx, axis=-1)
+            cs = jnp.take_along_axis(cflat[:, 2], idx, axis=-1)
+            # sigma from fractional level index, scaled to original pixels
+            sigma0 = sig[:, 0:1]
+            step = self.scale_pyr.sigma_step
+            kp_sigma = sigma0 * jnp.power(step, cs)
+            pixel_dist = dist[:, 0:1]
+            xy = jnp.stack([cx, cy], axis=-1) * pixel_dist[..., None]
+            all_xy.append(xy)
+            all_resp.append(jnp.where(vals > -jnp.inf / 2, vals, -jnp.inf))
+            all_scale.append(self.mr_size * kp_sigma)
+        xy = jnp.concatenate(all_xy, axis=1)
+        resp_all = jnp.concatenate(all_resp, axis=1)
+        scale_all = jnp.concatenate(all_scale, axis=1)
+        # global fixed-K top-k over all octaves
+        k_final = min(K_out, resp_all.shape[-1])
+        vals, idx = jax.lax.top_k(resp_all, k_final)
+        xy = jnp.take_along_axis(xy, idx[..., None], axis=1)
+        scale = jnp.take_along_axis(scale_all, idx, axis=1)
+        valid = vals > 0
+        if k_final < K_out:  # pad to requested K
+            pad = K_out - k_final
+            xy = jnp.pad(xy, [(0, 0), (0, pad), (0, 0)])
+            scale = jnp.pad(scale, [(0, 0), (0, pad)])
+            vals = jnp.pad(vals, [(0, 0), (0, pad)])
+            valid = jnp.pad(valid, [(0, 0), (0, pad)])
+        lafs = laf_from_center_scale_ori(xy, scale[..., None, None])
+        return lafs, vals, valid

@@ -1,0 +1,156 @@
+"""Integrated local-feature pipelines
+(reference: kornia/feature/integrated.py, 591 LoC).
+
+`LocalFeature` = detector → orientation → patch extraction → descriptor,
+all on padded fixed-K sets with validity masks. `LocalFeatureMatcher`
+wires two images through detection + description + matching and returns
+the SfM front-end dict (reference: integrated.py:414-486).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtype import as_float
+from .detector import ScaleSpaceDetector
+from .laf import extract_patches_from_pyramid, get_laf_center
+from .matching import DescriptorMatcher
+from .orientation import LAFOrienter
+from .responses import dog_response, gftt_response, harris_response, hessian_response
+from .siftdesc import SIFTDescriptor
+
+__all__ = ["LAFDescriptor", "LocalFeature", "SIFTFeature",
+           "GFTTAffNetHardNet", "LocalFeatureMatcher"]
+
+
+class LAFDescriptor:
+    """Extract patches for LAFs and run a patch descriptor
+    (reference: integrated.py:86)."""
+
+    def __init__(self, patch_descriptor=None, patch_size: int = 41,
+                 grayscale_descriptor: bool = True):
+        self.descriptor = patch_descriptor or SIFTDescriptor(patch_size)
+        self.patch_size = patch_size
+        self.grayscale = grayscale_descriptor
+
+    def __call__(self, img: jax.Array, lafs: jax.Array) -> jax.Array:
+        B, N = lafs.shape[:2]
+        if self.grayscale and img.shape[1] == 3:
+            from ..ops.color import rgb_to_grayscale
+            img = rgb_to_grayscale(img)
+        patches = extract_patches_from_pyramid(img, lafs, self.patch_size)
+        flat = patches.reshape(B * N, *patches.shape[2:])
+        descs = self.descriptor(flat)
+        return descs.reshape(B, N, -1)
+
+
+class LocalFeature:
+    """detector + descriptor pipeline (reference: integrated.py:137)."""
+
+    def __init__(self, detector, descriptor: LAFDescriptor,
+                 orienter: Optional[LAFOrienter] = None):
+        self.detector = detector
+        self.descriptor = descriptor
+        self.orienter = orienter
+
+    def __call__(self, img: jax.Array
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """→ (lafs, responses, descriptors, valid)."""
+        img = as_float(img)
+        gray = img
+        if img.shape[1] == 3:
+            from ..ops.color import rgb_to_grayscale
+            gray = rgb_to_grayscale(img)
+        lafs, resps, valid = self.detector(gray)
+        if self.orienter is not None:
+            lafs = self.orienter(lafs, gray)
+        descs = self.descriptor(gray, lafs)
+        return lafs, resps, descs, valid
+
+
+class SIFTFeature(LocalFeature):
+    """DoG + orientation + (Root)SIFT (reference: integrated.py:177)."""
+
+    def __init__(self, num_features: int = 500, rootsift: bool = True,
+                 double_image: bool = False):
+        from ..ops.pyramid import ScalePyramid
+        detector = ScaleSpaceDetector(
+            num_features,
+            resp=_blob_dog_resp,
+            scale_pyr=ScalePyramid(3, 1.6, 32, double_image=double_image),
+            nms_size=3,
+            minima_are_also_good=True,
+            mr_size=6.0,
+        )
+        desc = SIFTDescriptor(patch_size=41, rootsift=rootsift)
+        super().__init__(detector, LAFDescriptor(desc, 41), LAFOrienter(19))
+
+
+def _blob_dog_resp(x: jax.Array, sigmas=None) -> jax.Array:
+    """Approximate per-level DoG by LoG-like band-pass (detector calls the
+    response per level; a true DoG needs adjacent levels — approximated
+    with the scale-normalized Laplacian which has the same extrema)."""
+    from ..ops.filters import laplacian
+    out = -laplacian(x, 5, normalized=True)
+    if sigmas is not None:
+        out = out * (sigmas * sigmas)
+    return out
+
+
+class GFTTAffNetHardNet(LocalFeature):
+    """GFTT corners + HardNet descriptors (reference: integrated.py:251).
+    Uses random-init HardNet until torch weights are ported; for
+    deterministic accuracy tests use SIFTFeature."""
+
+    def __init__(self, num_features: int = 500,
+                 params: Optional[dict] = None):
+        from .hardnet import HardNet
+        detector = ScaleSpaceDetector(num_features, resp=gftt_response,
+                                      mr_size=6.0)
+        hn = HardNet(params)
+        super().__init__(detector, LAFDescriptor(hn, 32), LAFOrienter(19))
+
+
+class LocalFeatureMatcher:
+    """Full two-view front end (reference: integrated.py:361)."""
+
+    def __init__(self, local_feature: LocalFeature,
+                 matcher: DescriptorMatcher):
+        self.local_feature = local_feature
+        self.matcher = matcher
+
+    def __call__(self, data: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        img0 = data["image0"]
+        img1 = data["image1"]
+        lafs0, r0, d0, v0 = self.local_feature(img0)
+        lafs1, r1, d1, v1 = self.local_feature(img1)
+        B = img0.shape[0]
+        out_dists = []
+        out_idx = []
+        out_valid = []
+        for b in range(B):
+            dists, idx, valid = self.matcher(d0[b], d1[b], v0[b], v1[b])
+            out_dists.append(dists)
+            out_idx.append(idx)
+            out_valid.append(valid)
+        dists = jnp.stack(out_dists)
+        idx = jnp.stack(out_idx)
+        valid = jnp.stack(out_valid)
+        kp0 = get_laf_center(lafs0)
+        kp1_all = get_laf_center(lafs1)
+        kp1 = jnp.take_along_axis(kp1_all, idx[..., 1:2], axis=1)
+        return {
+            "keypoints0": kp0,
+            "keypoints1": kp1,
+            "lafs0": lafs0,
+            "lafs1": lafs1,
+            "descriptors0": d0,
+            "descriptors1": d1,
+            "confidence": 1.0 - jnp.clip(dists[..., 0], 0.0, 1.0),
+            "batch_indexes": jnp.repeat(jnp.arange(B), idx.shape[1]),
+            "matches": idx,
+            "valid": valid,
+        }

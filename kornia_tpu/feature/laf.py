@@ -1,0 +1,281 @@
+"""Local Affine Frames (reference: kornia/feature/laf.py, 634 LoC).
+
+A LAF stack is (B, N, 2, 3): per keypoint an affine frame [A | c] mapping
+the unit circle to an image ellipse, with c the center in pixels.
+All ops are batched and grad-closed; padded keypoints are carried through
+by validity masks at the call sites (static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.check import check, check_laf
+from ..core.dtype import as_float
+from ..core.linalg import det_2x2, inverse_2x2
+
+__all__ = [
+    "get_laf_scale",
+    "set_laf_scale",
+    "get_laf_center",
+    "get_laf_orientation",
+    "set_laf_orientation",
+    "laf_from_center_scale_ori",
+    "scale_laf",
+    "make_upright",
+    "ellipse_to_laf",
+    "laf_to_boundary_points",
+    "normalize_laf",
+    "denormalize_laf",
+    "laf_is_inside_image",
+    "laf_from_three_points",
+    "laf_to_three_points",
+    "rotate_laf",
+    "extract_patches_from_pyramid",
+    "extract_patches_simple",
+    "perspective_transform_lafs",
+]
+
+
+def get_laf_scale(laf: jax.Array) -> jax.Array:
+    """(B, N, 2, 3) → (B, N, 1, 1) sqrt|det A| (reference: laf.py:45)."""
+    check_laf(laf)
+    d = jnp.abs(det_2x2(laf[..., :2, :2]))
+    return jnp.sqrt(d + 1e-10)[..., None, None]
+
+
+def set_laf_scale(laf: jax.Array, scale: jax.Array) -> jax.Array:
+    cur = get_laf_scale(laf)
+    A = laf[..., :2, :2] * (scale / cur)
+    return jnp.concatenate([A, laf[..., :2, 2:]], axis=-1)
+
+
+def scale_laf(laf: jax.Array, scale_coef) -> jax.Array:
+    """Multiply the linear part by a coefficient (reference: laf.py:103)."""
+    scale = jnp.asarray(scale_coef, laf.dtype)
+    A = laf[..., :2, :2] * scale
+    return jnp.concatenate([A, laf[..., :2, 2:]], axis=-1)
+
+
+def get_laf_center(laf: jax.Array) -> jax.Array:
+    check_laf(laf)
+    return laf[..., :2, 2]
+
+
+def get_laf_orientation(laf: jax.Array) -> jax.Array:
+    """Degrees (B, N, 1) (reference: laf.py get_laf_orientation:
+    atan2(A01, A00) under the [[c, s], [-s, c]] convention)."""
+    check_laf(laf)
+    ang = jnp.arctan2(laf[..., 0, 1], laf[..., 0, 0])
+    return jnp.rad2deg(ang)[..., None]
+
+
+def set_laf_orientation(laf: jax.Array, angles_degrees: jax.Array) -> jax.Array:
+    cur = get_laf_orientation(laf)
+    return rotate_laf(laf, angles_degrees - cur)
+
+
+def rotate_laf(laf: jax.Array, angles_degrees: jax.Array) -> jax.Array:
+    """Right-multiply the linear part by a rotation (reference: laf.py
+    rotate_laf)."""
+    rad = jnp.deg2rad(as_float(angles_degrees))[..., 0]
+    c = jnp.cos(rad)
+    s = jnp.sin(rad)
+    rot = jnp.stack(
+        [jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], axis=-2
+    )  # note: image y-down convention
+    A = laf[..., :2, :2] @ rot
+    return jnp.concatenate([A, laf[..., :2, 2:]], axis=-1)
+
+
+def laf_from_center_scale_ori(xy: jax.Array,
+                              scale: Optional[jax.Array] = None,
+                              ori: Optional[jax.Array] = None) -> jax.Array:
+    """(B, N, 2) centers (+ scale (B, N, 1, 1), ori degrees (B, N, 1)) →
+    (B, N, 2, 3) (reference: laf.py:128)."""
+    xy = as_float(xy)
+    B, N = xy.shape[:2]
+    if scale is None:
+        scale = jnp.ones((B, N, 1, 1), xy.dtype)
+    if ori is None:
+        ori = jnp.zeros((B, N, 1), xy.dtype)
+    rad = jnp.deg2rad(ori[..., 0])
+    c = jnp.cos(rad)
+    s = jnp.sin(rad)
+    A = jnp.stack(
+        [jnp.stack([c, s], -1), jnp.stack([-s, c], -1)], axis=-2
+    ) * scale
+    return jnp.concatenate([A, xy[..., None]], axis=-1)
+
+
+def make_upright(laf: jax.Array, eps: float = 1e-9) -> jax.Array:
+    """Remove rotation keeping ellipse shape (reference: laf.py:184).
+    Via Cholesky-like decomposition of A Aᵀ (lower-triangular sqrt)."""
+    check_laf(laf)
+    A = laf[..., :2, :2]
+    det = jnp.sqrt(jnp.abs(det_2x2(A)) + eps)[..., None, None]
+    # C = A Aᵀ; upright frame is chol(C) (lower triangular, positive diag)
+    C = A @ jnp.swapaxes(A, -1, -2)
+    a = C[..., 0, 0]
+    b = C[..., 0, 1]
+    d = C[..., 1, 1]
+    l11 = jnp.sqrt(jnp.maximum(a, eps))
+    l21 = b / l11
+    l22 = jnp.sqrt(jnp.maximum(d - l21 * l21, eps))
+    zeros = jnp.zeros_like(l11)
+    L = jnp.stack(
+        [jnp.stack([l11, zeros], -1), jnp.stack([l21, l22], -1)], axis=-2
+    )
+    return jnp.concatenate([L, laf[..., :2, 2:]], axis=-1)
+
+
+def ellipse_to_laf(ells: jax.Array) -> jax.Array:
+    """(B, N, 5) (x, y, a, b, c) ellipse params → LAF
+    (reference: laf.py:217)."""
+    ells = as_float(ells)
+    xy = ells[..., :2]
+    a = ells[..., 2]
+    b = ells[..., 3]
+    c = ells[..., 4]
+    # inverse sqrt of the [[a, b], [b, c]] matrix via eigendecomposition
+    M = jnp.stack(
+        [jnp.stack([a, b], -1), jnp.stack([b, c], -1)], axis=-2
+    )
+    vals, vecs = jnp.linalg.eigh(M)
+    inv_sqrt = vecs @ (
+        (1.0 / jnp.sqrt(jnp.maximum(vals, 1e-9)))[..., None] * jnp.swapaxes(vecs, -1, -2)
+    )
+    laf = jnp.concatenate([inv_sqrt, xy[..., None]], axis=-1)
+    return make_upright(laf)
+
+
+def laf_to_boundary_points(laf: jax.Array, n_pts: int = 50) -> jax.Array:
+    """Sample the LAF ellipse boundary (B, N, n_pts, 2)
+    (reference: laf.py laf_to_boundary_points)."""
+    check_laf(laf)
+    t = jnp.linspace(0, 2 * jnp.pi, n_pts, dtype=laf.dtype)
+    circle = jnp.stack([jnp.cos(t), jnp.sin(t), jnp.ones_like(t)], axis=-1)
+    return jnp.einsum("bnij,pj->bnpi", laf, circle)
+
+
+def normalize_laf(laf: jax.Array, images: jax.Array) -> jax.Array:
+    """Pixel → [0, 1]-ish coords, scale by min side (reference: laf.py:316)."""
+    H, W = images.shape[-2:]
+    mins = float(min(H, W))
+    coef = jnp.array([[1.0 / mins, 1.0 / mins, 1.0 / W],
+                      [1.0 / mins, 1.0 / mins, 1.0 / H]], dtype=laf.dtype)
+    return laf * coef
+
+
+def denormalize_laf(laf: jax.Array, images: jax.Array) -> jax.Array:
+    H, W = images.shape[-2:]
+    mins = float(min(H, W))
+    coef = jnp.array([[mins, mins, W], [mins, mins, H]], dtype=laf.dtype)
+    return laf * coef
+
+
+def laf_is_inside_image(laf: jax.Array, images: jax.Array,
+                        border: int = 0) -> jax.Array:
+    """(B, N) bool: LAF ellipse fully inside the image
+    (reference: laf.py laf_is_touching_boundary inverse)."""
+    H, W = images.shape[-2:]
+    pts = laf_to_boundary_points(laf, 12)
+    ok_x = (pts[..., 0] >= border) & (pts[..., 0] <= W - 1 - border)
+    ok_y = (pts[..., 1] >= border) & (pts[..., 1] <= H - 1 - border)
+    return jnp.all(ok_x & ok_y, axis=-1)
+
+
+def laf_from_three_points(threepts: jax.Array) -> jax.Array:
+    """(B, N, 2, 3) [origin, x-axis pt, y-axis pt columns] → LAF
+    (reference: laf.py laf_from_three_points)."""
+    c = threepts[..., :, 2]
+    A = threepts[..., :, :2] - c[..., None]
+    return jnp.concatenate([A, c[..., None]], axis=-1)
+
+
+def laf_to_three_points(laf: jax.Array) -> jax.Array:
+    c = laf[..., :, 2]
+    pts = laf[..., :, :2] + c[..., None]
+    return jnp.concatenate([pts, c[..., None]], axis=-1)
+
+
+def perspective_transform_lafs(trans: jax.Array, lafs: jax.Array) -> jax.Array:
+    """Apply (B, 3, 3) homographies to LAFs (reference: laf.py:567),
+    via the three-points representation."""
+    from ..geometry.linalg import transform_points
+    check_laf(lafs)
+    threepts = laf_to_three_points(lafs)  # (B, N, 2, 3)
+    B, N = threepts.shape[:2]
+    pts = jnp.swapaxes(threepts, -1, -2).reshape(B, N * 3, 2)
+    warped = transform_points(trans, pts)
+    warped = jnp.swapaxes(warped.reshape(B, N, 3, 2), -1, -2)
+    return laf_from_three_points(warped)
+
+
+def generate_patch_grid_from_normalized_laf(img: jax.Array, laf: jax.Array,
+                                            PS: int = 32) -> jax.Array:
+    """Sampling grid for each LAF (B, N, PS, PS, 2) in [-1, 1] coords."""
+    B, N = laf.shape[:2]
+    H, W = img.shape[-2:]
+    # unit grid in LAF frame: [-1, 1]² maps through A to pixel offsets
+    t = jnp.linspace(-1.0, 1.0, PS, dtype=laf.dtype)
+    gy, gx = jnp.meshgrid(t, t, indexing="ij")
+    grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (PS, PS, 3)
+    pix = jnp.einsum("bnij,pqj->bnpqi", laf, grid)  # (B, N, PS, PS, 2) pixels
+    # pixels → normalized [-1, 1]
+    nx = 2.0 * pix[..., 0] / max(W - 1, 1) - 1.0
+    ny = 2.0 * pix[..., 1] / max(H - 1, 1) - 1.0
+    return jnp.stack([nx, ny], axis=-1)
+
+
+def extract_patches_simple(img: jax.Array, laf: jax.Array, PS: int = 32,
+                           normalize_lafs: bool = False) -> jax.Array:
+    """Sample a (B, N, C, PS, PS) patch per LAF with bilinear grid_sample
+    (reference: laf.py extract_patches_simple)."""
+    from ..ops.warp import grid_sample
+    img = as_float(img)
+    B, N = laf.shape[:2]
+    C = img.shape[1]
+    lafp = scale_laf(laf, 0.5) if False else laf
+    grid = generate_patch_grid_from_normalized_laf(img, lafp, PS)
+    grid_flat = grid.reshape(B, N * PS, PS, 2)
+    out = grid_sample(img, grid_flat, "bilinear", "border", True)
+    return out.reshape(B, C, N, PS, PS).transpose(0, 2, 1, 3, 4)
+
+
+def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
+                                 normalize_lafs_before: bool = True
+                                 ) -> jax.Array:
+    """Scale-aware patch extraction: each LAF samples from the pyramid
+    level matching its scale (reference: laf.py:451).
+
+    TPU formulation: build the static pyramid, sample the SAME grid from
+    every level, then gather per-keypoint by its (static-shape) level
+    index — no data-dependent control flow."""
+    img = as_float(img)
+    B, N = laf.shape[:2]
+    C, H, W = img.shape[1:]
+    scale = get_laf_scale(laf)[..., 0, 0]  # (B, N) in pixels (radius)
+    # pyramid with halving sizes
+    import math
+    n_levels = max(1, int(math.log2(max(min(H, W) // max(PS, 8), 1))) + 1)
+    levels = [img]
+    from ..ops.pyramid import pyrdown
+    for _ in range(n_levels - 1):
+        levels.append(pyrdown(levels[-1]))
+    # per-keypoint level: scale/PS halving
+    lvl = jnp.floor(jnp.log2(jnp.maximum(2.0 * scale / PS, 1e-6)))
+    lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)  # (B, N)
+    patches_per_level = []
+    for li, limg in enumerate(levels):
+        sc = 0.5**li
+        laf_l = jnp.concatenate(
+            [laf[..., :2, :2] * sc, laf[..., :2, 2:] * sc], axis=-1)
+        patches_per_level.append(extract_patches_simple(limg, laf_l, PS))
+    stack = jnp.stack(patches_per_level, axis=0)  # (Lv, B, N, C, PS, PS)
+    sel = lvl[None, ..., None, None, None]  # (1, B, N, 1, 1, 1)
+    idx = jnp.broadcast_to(sel, (1, B, N, C, PS, PS))
+    return jnp.take_along_axis(stack, idx, axis=0)[0]

@@ -1,0 +1,216 @@
+"""Quality metrics (reference: kornia/metrics/, 1.4k LoC) + the SLAM
+trajectory metrics (ATE/RPE) the north-star pipeline is judged on —
+kornia has no trajectory metrics; these are new.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtype import as_float
+from ..losses.losses import psnr, ssim  # canonical impls, re-exported
+
+__all__ = [
+    "accuracy",
+    "confusion_matrix",
+    "mean_iou",
+    "mean_iou_bbox",
+    "mean_average_precision",
+    "aepe",
+    "psnr",
+    "ssim",
+    "AverageMeter",
+    "ate_rmse",
+    "rpe",
+]
+
+
+def accuracy(pred: jax.Array, target: jax.Array, topk: Tuple[int, ...] = (1,)
+             ) -> List[jax.Array]:
+    """Top-k accuracy on logits (B, C) (reference: metrics/accuracy.py:23)."""
+    maxk = max(topk)
+    _, idx = jax.lax.top_k(pred, maxk)
+    correct = idx == target[:, None]
+    res = []
+    for k in topk:
+        acc = jnp.sum(jnp.any(correct[:, :k], axis=1)) * 100.0 / pred.shape[0]
+        res.append(acc)
+    return res
+
+
+def confusion_matrix(pred: jax.Array, target: jax.Array, num_classes: int,
+                     normalized: bool = False) -> jax.Array:
+    """(B, N) predicted/target labels → (B, C, C)
+    (reference: metrics/confusion_matrix.py:24)."""
+    pred = pred.astype(jnp.int32)
+    target = target.astype(jnp.int32)
+    idx = target * num_classes + pred  # row = target, col = pred
+
+    def one(i):
+        return jnp.zeros((num_classes * num_classes,), jnp.float32).at[i].add(1.0)
+
+    cm = jax.vmap(one)(idx.reshape(pred.shape[0], -1))
+    cm = cm.reshape(pred.shape[0], num_classes, num_classes)
+    if normalized:
+        cm = cm / jnp.maximum(jnp.sum(cm, axis=-1, keepdims=True), 1.0)
+    return cm
+
+
+def mean_iou(pred: jax.Array, target: jax.Array, num_classes: int,
+             eps: float = 1e-6) -> jax.Array:
+    """Per-class IoU (B, C) (reference: metrics/mean_iou.py:23)."""
+    cm = confusion_matrix(pred, target, num_classes)
+    tp = jnp.diagonal(cm, axis1=-2, axis2=-1)
+    total = jnp.sum(cm, axis=-1) + jnp.sum(cm, axis=-2) - tp
+    return (tp + eps) / (total + eps)
+
+
+def mean_iou_bbox(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
+    """Pairwise IoU of xyxy boxes (N, 4) x (M, 4) → (N, M)
+    (reference: metrics/mean_iou_bbox.py:108)."""
+    boxes1 = as_float(boxes1)
+    boxes2 = as_float(boxes2)
+    area1 = (boxes1[:, 2] - boxes1[:, 0]) * (boxes1[:, 3] - boxes1[:, 1])
+    area2 = (boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1])
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(area1[:, None] + area2[None, :] - inter, 1e-8)
+
+
+def mean_average_precision(
+    pred_boxes: jax.Array, pred_labels: jax.Array, pred_scores: jax.Array,
+    gt_boxes: jax.Array, gt_labels: jax.Array, n_classes: int,
+    iou_threshold: float = 0.5,
+) -> Tuple[jax.Array, dict]:
+    """Single-image detection mAP (xyxy boxes)
+    (reference: metrics/mean_average_precision.py:25)."""
+    ious = mean_iou_bbox(pred_boxes, gt_boxes)
+    aps = {}
+    for c in range(n_classes):
+        cls_mask = pred_labels == c
+        gt_mask = gt_labels == c
+        n_gt = int(jnp.sum(gt_mask))
+        if n_gt == 0:
+            continue
+        scores = jnp.where(cls_mask, pred_scores, -jnp.inf)
+        order = jnp.argsort(-scores)
+        matched = jnp.zeros(gt_boxes.shape[0], dtype=bool)
+        tp = []
+        fp = []
+        for i in order.tolist():
+            if not bool(cls_mask[i]):
+                continue
+            iou_row = jnp.where(gt_mask, ious[i], 0.0)
+            j = int(jnp.argmax(iou_row))
+            if float(iou_row[j]) >= iou_threshold and not bool(matched[j]):
+                matched = matched.at[j].set(True)
+                tp.append(1.0)
+                fp.append(0.0)
+            else:
+                tp.append(0.0)
+                fp.append(1.0)
+        if not tp:
+            aps[c] = 0.0
+            continue
+        tp_c = jnp.cumsum(jnp.array(tp))
+        fp_c = jnp.cumsum(jnp.array(fp))
+        recall = tp_c / n_gt
+        precision = tp_c / jnp.maximum(tp_c + fp_c, 1e-8)
+        # 101-point interpolation
+        ap = 0.0
+        for r in jnp.linspace(0, 1, 101):
+            p = jnp.max(jnp.where(recall >= r, precision, 0.0))
+            ap += float(p) / 101.0
+        aps[c] = ap
+    mAP = jnp.asarray(sum(aps.values()) / max(len(aps), 1))
+    return mAP, aps
+
+
+def aepe(flow_pred: jax.Array, flow_gt: jax.Array,
+         reduction: str = "mean") -> jax.Array:
+    """Average endpoint error for optical flow (..., 2)
+    (reference: metrics/endpoint_error.py:24)."""
+    epe = jnp.linalg.norm(as_float(flow_pred) - as_float(flow_gt), axis=-1)
+    if reduction == "mean":
+        return jnp.mean(epe)
+    if reduction == "sum":
+        return jnp.sum(epe)
+    return epe
+
+
+class AverageMeter:
+    """(reference: metrics/average_meter.py)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+# -----------------------------------------------------------------------------
+# Trajectory metrics (NEW — the north-star ATE/RPE; no reference counterpart)
+# -----------------------------------------------------------------------------
+
+def _umeyama_alignment(src: jax.Array, dst: jax.Array, with_scale: bool = False
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Closed-form similarity alignment src→dst ((N,3) each)."""
+    mu_s = jnp.mean(src, axis=0)
+    mu_d = jnp.mean(dst, axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = dc.T @ sc / src.shape[0]
+    U, S, Vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    D = jnp.diag(jnp.array([1.0, 1.0, d]))
+    R = U @ D @ Vt
+    if with_scale:
+        var_s = jnp.mean(jnp.sum(sc * sc, axis=-1))
+        s = jnp.sum(S * jnp.diag(D)) / jnp.maximum(var_s, 1e-12)
+    else:
+        s = jnp.asarray(1.0)
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def ate_rmse(traj_est: jax.Array, traj_gt: jax.Array,
+             align: bool = True, with_scale: bool = False) -> jax.Array:
+    """Absolute trajectory error RMSE after SE(3)/Sim(3) alignment
+    ((N, 3) positions each) — the TUM-RGBD / ETH3D benchmark metric."""
+    traj_est = as_float(traj_est)
+    traj_gt = as_float(traj_gt)
+    if align:
+        s, R, t = _umeyama_alignment(traj_est, traj_gt, with_scale)
+        traj_est = s * traj_est @ R.T + t
+    err = jnp.linalg.norm(traj_est - traj_gt, axis=-1)
+    return jnp.sqrt(jnp.mean(err * err))
+
+
+def rpe(poses_est: jax.Array, poses_gt: jax.Array, delta: int = 1
+        ) -> Tuple[jax.Array, jax.Array]:
+    """Relative pose error over a frame delta: poses (N, 4, 4) →
+    (trans_rmse, rot_rmse_rad)."""
+    from ..geometry.linalg import inverse_transformation, relative_transformation
+
+    T_est = relative_transformation(poses_est[:-delta], poses_est[delta:])
+    T_gt = relative_transformation(poses_gt[:-delta], poses_gt[delta:])
+    E = relative_transformation(T_gt, T_est)
+    trans = jnp.linalg.norm(E[..., :3, 3], axis=-1)
+    cos = jnp.clip((jnp.trace(E[..., :3, :3], axis1=-2, axis2=-1) - 1.0) / 2.0,
+                   -1.0, 1.0)
+    rot = jnp.arccos(cos)
+    return (jnp.sqrt(jnp.mean(trans**2)), jnp.sqrt(jnp.mean(rot**2)))

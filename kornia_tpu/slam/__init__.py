@@ -1,0 +1,3 @@
+from .ba import BAProblem, BAState, bundle_adjust, reprojection_residuals
+from .posegraph import PoseGraph, optimize_pose_graph
+from .twoview import TwoViewResult, match_pair, two_view_pose

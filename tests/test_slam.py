@@ -1,0 +1,156 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kornia_tpu.geometry.liegroup import Se3, So3
+from kornia_tpu.slam.ba import (BAProblem, BAState, bundle_adjust,
+                                reprojection_residuals)
+from kornia_tpu.slam.posegraph import PoseGraph, optimize_pose_graph
+
+
+def make_ba_problem(key, C=5, P=40, noise=0.3):
+    ks = jax.random.split(key, 6)
+    angles = jnp.linspace(-0.3, 0.3, C)
+    poses_gt = Se3.exp(jnp.stack([jnp.zeros(C)] * 4 + [angles, jnp.zeros(C)], -1))
+    poses_gt = Se3(poses_gt.r, poses_gt.t + jnp.stack(
+        [jnp.linspace(-1, 1, C), jnp.zeros(C), jnp.zeros(C)], -1))
+    X_gt = jax.random.normal(ks[0], (P, 3)) * 1.5 + jnp.array([0.0, 0, 6.0])
+    K = jnp.array([[200.0, 0, 128], [0, 200, 96], [0, 0, 1]])
+    cam_idx = jnp.repeat(jnp.arange(C), P)
+    pt_idx = jnp.tile(jnp.arange(P), C)
+    state_gt = BAState(poses_gt, X_gt)
+    prob0 = BAProblem(cam_idx, pt_idx, jnp.zeros((C * P, 2)),
+                      jnp.ones(C * P, bool), K)
+    uv = reprojection_residuals(state_gt, prob0)
+    uv = uv + noise * jax.random.normal(ks[1], uv.shape)
+    problem = BAProblem(cam_idx, pt_idx, uv, jnp.ones(C * P, bool), K)
+    poses_init = Se3(
+        (Se3.exp(0.03 * jax.random.normal(ks[2], (C, 6))).r * poses_gt.r),
+        poses_gt.t + 0.1 * jax.random.normal(ks[3], (C, 3)))
+    X_init = X_gt + 0.2 * jax.random.normal(ks[4], (P, 3))
+    return BAState(poses_init, X_init), problem, state_gt, C, P
+
+
+class TestBundleAdjustment:
+    def test_converges_to_noise_floor(self, key):
+        state0, problem, state_gt, C, P = make_ba_problem(key, noise=0.3)
+        r0 = reprojection_residuals(state0, problem)
+        rms0 = float(jnp.sqrt(jnp.mean(jnp.sum(r0**2, -1))))
+        state, costs = bundle_adjust(state0, problem, C, P, num_iters=10)
+        r1 = reprojection_residuals(state, problem)
+        rms1 = float(jnp.sqrt(jnp.mean(jnp.sum(r1**2, -1))))
+        assert rms0 > 5.0
+        assert rms1 < 0.6  # ~noise level
+        # costs monotone nonincreasing
+        c = np.asarray(costs)
+        assert np.all(np.diff(c) <= 1e-3)
+
+    def test_noise_free_exact(self, key):
+        state0, problem, state_gt, C, P = make_ba_problem(key, noise=0.0)
+        state, costs = bundle_adjust(state0, problem, C, P, num_iters=10)
+        r1 = reprojection_residuals(state, problem)
+        assert float(jnp.sqrt(jnp.mean(jnp.sum(r1**2, -1)))) < 1e-2
+
+    def test_padded_observations(self, key):
+        state0, problem, state_gt, C, P = make_ba_problem(key, noise=0.0)
+        # pad with garbage observations marked invalid
+        O = problem.cam_idx.shape[0]
+        pad = 37
+        problem2 = BAProblem(
+            jnp.concatenate([problem.cam_idx, jnp.zeros(pad, jnp.int32)]),
+            jnp.concatenate([problem.pt_idx, jnp.zeros(pad, jnp.int32)]),
+            jnp.concatenate([problem.uv, jnp.full((pad, 2), 1e5)]),
+            jnp.concatenate([problem.valid, jnp.zeros(pad, bool)]),
+            problem.K)
+        state, _ = bundle_adjust(state0, problem2, C, P, num_iters=10)
+        r1 = reprojection_residuals(state, problem)
+        assert float(jnp.sqrt(jnp.mean(jnp.sum(r1**2, -1)))) < 1e-2
+
+    def test_robust_to_outliers(self, key):
+        state0, problem, state_gt, C, P = make_ba_problem(key, noise=0.2)
+        # corrupt 10% of observations grossly
+        n_out = problem.uv.shape[0] // 10
+        uv_bad = problem.uv.at[:n_out].add(80.0)
+        problem2 = BAProblem(problem.cam_idx, problem.pt_idx, uv_bad,
+                             problem.valid, problem.K)
+        state, _ = bundle_adjust(state0, problem2, C, P, num_iters=12,
+                                 robust_delta=2.0, robust="cauchy")
+        r1 = reprojection_residuals(state, problem)  # vs clean observations
+        med = float(jnp.median(jnp.linalg.norm(r1, axis=-1)))
+        assert med < 1.0
+
+
+class TestDistributedBA:
+    def test_matches_single_device(self, key):
+        from kornia_tpu.parallel.dist_ba import distributed_bundle_adjust
+        from kornia_tpu.parallel.mesh import make_mesh
+        D, P_local, C = 8, 8, 4
+        P = D * P_local
+        state0, _, state_gt, _, _ = make_ba_problem(key, C=C, P=P, noise=0.2)
+        # rebuild observations grouped by point shard
+        K = jnp.array([[200.0, 0, 128], [0, 200, 96], [0, 0, 1]])
+        cam_idx = jnp.concatenate(
+            [jnp.repeat(jnp.arange(C), P_local) for _ in range(D)])
+        pt_local = jnp.concatenate(
+            [jnp.tile(jnp.arange(P_local), C) for _ in range(D)])
+        pt_global = jnp.concatenate(
+            [jnp.tile(jnp.arange(P_local), C) + s * P_local for s in range(D)])
+        prob_g = BAProblem(cam_idx, pt_global, jnp.zeros((cam_idx.shape[0], 2)),
+                           jnp.ones(cam_idx.shape[0], bool), K)
+        uv = reprojection_residuals(state_gt, prob_g)
+        uv = uv + 0.2 * jax.random.normal(key, uv.shape)
+        valid = jnp.ones(cam_idx.shape[0], bool)
+        mesh = make_mesh((8, 1))
+        state_d, costs = distributed_bundle_adjust(
+            mesh, state0, cam_idx, pt_local, uv, valid, K, C, num_iters=8)
+        # compare with single-device BA on the same problem
+        prob_full = BAProblem(cam_idx, pt_global, uv, valid, K)
+        state_s, _ = bundle_adjust(state0, prob_full, C, P, num_iters=8)
+        r_d = reprojection_residuals(state_d, prob_full)
+        r_s = reprojection_residuals(state_s, prob_full)
+        rms_d = float(jnp.sqrt(jnp.mean(jnp.sum(r_d**2, -1))))
+        rms_s = float(jnp.sqrt(jnp.mean(jnp.sum(r_s**2, -1))))
+        assert abs(rms_d - rms_s) < 0.05
+        assert rms_d < 0.5
+
+
+class TestPoseGraph:
+    def test_chain_with_loop_closure(self, key):
+        N = 10
+        ks = jax.random.split(key, 3)
+        poses_gt = Se3.exp(jax.random.normal(ks[0], (N, 6)) * 0.3)
+        src = jnp.concatenate([jnp.arange(N - 1), jnp.array([0])])
+        dst = jnp.concatenate([jnp.arange(1, N), jnp.array([N - 1])])
+
+        def rel(i, j):
+            Ti = Se3(So3.from_wxyz(poses_gt.r.q.data[i]), poses_gt.t[i])
+            Tj = Se3(So3.from_wxyz(poses_gt.r.q.data[j]), poses_gt.t[j])
+            return Ti.inverse() * Tj
+
+        ms = [rel(int(i), int(j)) for i, j in zip(src, dst)]
+        meas = Se3(So3.from_wxyz(jnp.stack([m.r.q.data for m in ms])),
+                   jnp.stack([m.t for m in ms]))
+        E = src.shape[0]
+        graph = PoseGraph(src, dst, meas, jnp.ones(E), jnp.ones(E, bool))
+        poses_init = Se3(
+            (Se3.exp(0.1 * jax.random.normal(ks[1], (N, 6))).r * poses_gt.r),
+            poses_gt.t + 0.2 * jax.random.normal(ks[2], (N, 3)))
+        poses_opt, costs = optimize_pose_graph(poses_init, graph, num_iters=8)
+        for i, j in zip(src.tolist(), dst.tolist()):
+            Ti = Se3(So3.from_wxyz(poses_opt.r.q.data[i]), poses_opt.t[i])
+            Tj = Se3(So3.from_wxyz(poses_opt.r.q.data[j]), poses_opt.t[j])
+            err = float(jnp.abs((Ti.inverse() * Tj).matrix()
+                                - rel(i, j).matrix()).max())
+            assert err < 1e-3
+
+
+class TestTwoView:
+    @pytest.mark.slow
+    def test_two_view_pose_synthetic(self, key):
+        # covered more cheaply in verify; smoke the wiring here
+        from kornia_tpu.slam.twoview import match_pair
+        from kornia_tpu.ops.filters import gaussian_blur2d
+        img = gaussian_blur2d(jax.random.uniform(key, (1, 1, 64, 64)), 5, 1.2)
+        out = match_pair(img, img, num_features=64)
+        assert int(out["valid"].sum()) > 10
