@@ -17,14 +17,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _bench(fn, *args, warmup=2, iters=10):
+def _bench(fn, *args, warmup=3, iters=30):
+    """Median of per-call times — robust to the remote-tunnel latency
+    spikes of the axon backend (dispatch occasionally blocks ~100ms for
+    reasons unrelated to device compute)."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main():

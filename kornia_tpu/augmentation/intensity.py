@@ -1,0 +1,540 @@
+"""2D intensity augmentations
+(reference: kornia/augmentation/_2d/intensity/, 36 ops, ~5k LoC)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.dtype import as_float
+from ..ops import color as C
+from ..ops import enhance as E
+from ..ops import filters as F
+from .base import IntensityAugmentationBase2D
+
+__all__ = [
+    "ColorJiggle",
+    "ColorJitter",
+    "RandomBrightness",
+    "RandomContrast",
+    "RandomSaturation",
+    "RandomHue",
+    "RandomGamma",
+    "RandomGrayscale",
+    "RandomGaussianBlur",
+    "RandomGaussianNoise",
+    "RandomMotionBlur",
+    "RandomBoxBlur",
+    "RandomMedianBlur",
+    "RandomSolarize",
+    "RandomPosterize",
+    "RandomSharpness",
+    "RandomEqualize",
+    "RandomCLAHE",
+    "RandomAutoContrast",
+    "RandomInvert",
+    "RandomChannelShuffle",
+    "RandomChannelDropout",
+    "RandomErasing",
+    "RandomSaltAndPepper",
+    "RandomRGBShift",
+    "RandomPlanckianJitter",
+    "RandomLinearIllumination",
+    "RandomPlasmaBrightness",
+    "RandomPlasmaShadow",
+    "Normalize",
+    "Denormalize",
+]
+
+
+def _as_range(r, default):
+    if r is None:
+        return default
+    if isinstance(r, (int, float)):
+        return (float(r), float(r))
+    return (float(r[0]), float(r[1]))
+
+
+class RandomBrightness(IntensityAugmentationBase2D):
+    """(reference: _2d/intensity/brightness.py)."""
+
+    def __init__(self, brightness=(0.8, 1.2), clip_output=True, **kw):
+        super().__init__(**kw)
+        self.rng = _as_range(brightness, (0.8, 1.2))
+        self.clip_output = clip_output
+
+    def sample_params(self, key, batch, shape):
+        return {"factor": self._uniform(key, batch, *self.rng)}
+
+    def apply(self, x, params):
+        return E.adjust_brightness(x, params["factor"], self.clip_output)
+
+
+class RandomContrast(IntensityAugmentationBase2D):
+    def __init__(self, contrast=(0.8, 1.2), clip_output=True, **kw):
+        super().__init__(**kw)
+        self.rng = _as_range(contrast, (0.8, 1.2))
+        self.clip_output = clip_output
+
+    def sample_params(self, key, batch, shape):
+        return {"factor": self._uniform(key, batch, *self.rng)}
+
+    def apply(self, x, params):
+        return E.adjust_contrast_with_mean_subtraction(x, params["factor"])
+
+
+class RandomSaturation(IntensityAugmentationBase2D):
+    def __init__(self, saturation=(0.8, 1.2), **kw):
+        super().__init__(**kw)
+        self.rng = _as_range(saturation, (0.8, 1.2))
+
+    def sample_params(self, key, batch, shape):
+        return {"factor": self._uniform(key, batch, *self.rng)}
+
+    def apply(self, x, params):
+        return E.adjust_saturation(x, params["factor"])
+
+
+class RandomHue(IntensityAugmentationBase2D):
+    def __init__(self, hue=(-0.1, 0.1), **kw):
+        super().__init__(**kw)
+        self.rng = _as_range(hue, (-0.1, 0.1))
+
+    def sample_params(self, key, batch, shape):
+        return {"factor": self._uniform(key, batch, *self.rng)}
+
+    def apply(self, x, params):
+        return E.adjust_hue(x, params["factor"] * 2.0 * jnp.pi)
+
+
+class RandomGamma(IntensityAugmentationBase2D):
+    def __init__(self, gamma=(0.8, 1.2), gain=(1.0, 1.0), **kw):
+        super().__init__(**kw)
+        self.g_rng = _as_range(gamma, (0.8, 1.2))
+        self.gain_rng = _as_range(gain, (1.0, 1.0))
+
+    def sample_params(self, key, batch, shape):
+        k1, k2 = jax.random.split(key)
+        return {"gamma": self._uniform(k1, batch, *self.g_rng),
+                "gain": self._uniform(k2, batch, *self.gain_rng)}
+
+    def apply(self, x, params):
+        return E.adjust_gamma(x, params["gamma"], params["gain"])
+
+
+class ColorJiggle(IntensityAugmentationBase2D):
+    """Sequential brightness/contrast/saturation/hue in random-free fixed
+    order (reference: _2d/intensity/color_jiggle.py)."""
+
+    def __init__(self, brightness=0.2, contrast=0.2, saturation=0.2,
+                 hue=0.1, **kw):
+        super().__init__(**kw)
+        b = brightness if isinstance(brightness, (tuple, list)) else (
+            max(0.0, 1 - brightness), 1 + brightness)
+        c = contrast if isinstance(contrast, (tuple, list)) else (
+            max(0.0, 1 - contrast), 1 + contrast)
+        s = saturation if isinstance(saturation, (tuple, list)) else (
+            max(0.0, 1 - saturation), 1 + saturation)
+        h = hue if isinstance(hue, (tuple, list)) else (-hue, hue)
+        self.b, self.c, self.s, self.h = b, c, s, h
+
+    def sample_params(self, key, batch, shape):
+        ks = jax.random.split(key, 4)
+        return {
+            "brightness": self._uniform(ks[0], batch, *self.b),
+            "contrast": self._uniform(ks[1], batch, *self.c),
+            "saturation": self._uniform(ks[2], batch, *self.s),
+            "hue": self._uniform(ks[3], batch, *self.h),
+        }
+
+    def apply(self, x, params):
+        x = E.adjust_brightness(x, params["brightness"])
+        x = E.adjust_contrast(x, params["contrast"])
+        x = E.adjust_saturation(x, params["saturation"])
+        x = E.adjust_hue(x, params["hue"] * 2.0 * jnp.pi)
+        return x
+
+
+ColorJitter = ColorJiggle  # torchvision-compatible alias (reference keeps both)
+
+
+class RandomGrayscale(IntensityAugmentationBase2D):
+    def __init__(self, p: float = 0.1, **kw):
+        super().__init__(p=p, **kw)
+
+    def apply(self, x, params):
+        return C.grayscale_to_rgb(C.rgb_to_grayscale(x))
+
+
+class RandomGaussianBlur(IntensityAugmentationBase2D):
+    def __init__(self, kernel_size=(3, 3), sigma=(0.1, 2.0), **kw):
+        super().__init__(**kw)
+        self.kernel_size = kernel_size if isinstance(kernel_size, tuple) else (
+            kernel_size, kernel_size)
+        self.sigma_rng = _as_range(sigma, (0.1, 2.0))
+
+    def sample_params(self, key, batch, shape):
+        return {"sigma": self._uniform(key, batch, *self.sigma_rng)}
+
+    def apply(self, x, params):
+        # per-sample sigma: build batched kernels
+        ky, kx = self.kernel_size
+        gy = F.get_gaussian_kernel1d(ky, params["sigma"])  # (B, ky)
+        gx = F.get_gaussian_kernel1d(kx, params["sigma"])
+        out = F.filter2d(x, gy[..., :, None], border_type="reflect")
+        return F.filter2d(out, gx[..., None, :], border_type="reflect")
+
+
+class RandomGaussianNoise(IntensityAugmentationBase2D):
+    def __init__(self, mean: float = 0.0, std: float = 1.0, **kw):
+        super().__init__(**kw)
+        self.mean = mean
+        self.std = std
+
+    def sample_params(self, key, batch, shape):
+        return {"noise": self.mean + self.std * jax.random.normal(key, shape)}
+
+    def apply(self, x, params):
+        return jnp.clip(x + params["noise"], 0.0, 1.0)
+
+
+class RandomMotionBlur(IntensityAugmentationBase2D):
+    def __init__(self, kernel_size: int = 5, angle=(-45.0, 45.0),
+                 direction=(-1.0, 1.0), **kw):
+        super().__init__(**kw)
+        self.kernel_size = kernel_size
+        self.angle_rng = _as_range(angle, (-45.0, 45.0))
+        self.dir_rng = _as_range(direction, (-1.0, 1.0))
+
+    def sample_params(self, key, batch, shape):
+        k1, k2 = jax.random.split(key)
+        return {"angle": self._uniform(k1, batch, *self.angle_rng),
+                "direction": self._uniform(k2, batch, *self.dir_rng)}
+
+    def apply(self, x, params):
+        return F.motion_blur(x, self.kernel_size, params["angle"],
+                             params["direction"])
+
+
+class RandomBoxBlur(IntensityAugmentationBase2D):
+    def __init__(self, kernel_size=(3, 3), **kw):
+        super().__init__(**kw)
+        self.kernel_size = kernel_size
+
+    def apply(self, x, params):
+        return F.box_blur(x, self.kernel_size)
+
+
+class RandomMedianBlur(IntensityAugmentationBase2D):
+    def __init__(self, kernel_size=(3, 3), **kw):
+        super().__init__(**kw)
+        self.kernel_size = kernel_size
+
+    def apply(self, x, params):
+        return F.median_blur(x, self.kernel_size)
+
+
+class RandomSolarize(IntensityAugmentationBase2D):
+    def __init__(self, thresholds=0.1, additions=0.1, **kw):
+        super().__init__(**kw)
+        t = thresholds if isinstance(thresholds, (tuple, list)) else (
+            0.5 - thresholds, 0.5 + thresholds)
+        a = additions if isinstance(additions, (tuple, list)) else (
+            -additions, additions)
+        self.t_rng, self.a_rng = t, a
+
+    def sample_params(self, key, batch, shape):
+        k1, k2 = jax.random.split(key)
+        return {"thresholds": self._uniform(k1, batch, *self.t_rng),
+                "additions": self._uniform(k2, batch, *self.a_rng)}
+
+    def apply(self, x, params):
+        return E.solarize(x, params["thresholds"], params["additions"])
+
+
+class RandomPosterize(IntensityAugmentationBase2D):
+    def __init__(self, bits=3, **kw):
+        super().__init__(**kw)
+        self.bits_rng = bits if isinstance(bits, (tuple, list)) else (bits, 8)
+
+    def sample_params(self, key, batch, shape):
+        lo, hi = self.bits_rng
+        if self.same_on_batch:
+            b = jax.random.randint(key, (), lo, hi + 1)
+            bits = jnp.broadcast_to(b, (batch,))
+        else:
+            bits = jax.random.randint(key, (batch,), lo, hi + 1)
+        return {"bits": bits}
+
+    def apply(self, x, params):
+        return E.posterize(x, params["bits"])
+
+
+class RandomSharpness(IntensityAugmentationBase2D):
+    def __init__(self, sharpness=0.5, **kw):
+        super().__init__(**kw)
+        s = sharpness if isinstance(sharpness, (tuple, list)) else (0.0, sharpness)
+        self.s_rng = s
+
+    def sample_params(self, key, batch, shape):
+        return {"factor": self._uniform(key, batch, *self.s_rng)}
+
+    def apply(self, x, params):
+        return E.sharpness(x, params["factor"])
+
+
+class RandomEqualize(IntensityAugmentationBase2D):
+    def apply(self, x, params):
+        return E.equalize(x)
+
+
+class RandomCLAHE(IntensityAugmentationBase2D):
+    def __init__(self, clip_limit=(40.0, 40.0), grid_size=(8, 8), **kw):
+        super().__init__(**kw)
+        self.clip_rng = _as_range(clip_limit, (40.0, 40.0))
+        self.grid_size = grid_size
+
+    def apply(self, x, params):
+        return E.equalize_clahe(x, self.clip_rng[1], self.grid_size)
+
+
+class RandomAutoContrast(IntensityAugmentationBase2D):
+    def apply(self, x, params):
+        return E.normalize_min_max(x)
+
+
+class RandomInvert(IntensityAugmentationBase2D):
+    def __init__(self, max_val: float = 1.0, **kw):
+        super().__init__(**kw)
+        self.max_val = max_val
+
+    def apply(self, x, params):
+        return E.invert(x, self.max_val)
+
+
+class RandomChannelShuffle(IntensityAugmentationBase2D):
+    def sample_params(self, key, batch, shape):
+        C_ = shape[1]
+        if self.same_on_batch:
+            perm = jax.random.permutation(key, C_)
+            perm = jnp.broadcast_to(perm, (batch, C_))
+        else:
+            perm = jax.vmap(lambda k: jax.random.permutation(k, C_))(
+                jax.random.split(key, batch))
+        return {"perm": perm}
+
+    def apply(self, x, params):
+        return jnp.take_along_axis(
+            x, params["perm"][:, :, None, None].astype(jnp.int32), axis=1)
+
+
+class RandomChannelDropout(IntensityAugmentationBase2D):
+    def __init__(self, num_drop_channels: int = 1, fill_value: float = 0.0, **kw):
+        super().__init__(**kw)
+        self.num_drop = num_drop_channels
+        self.fill_value = fill_value
+
+    def sample_params(self, key, batch, shape):
+        C_ = shape[1]
+        scores = jax.random.uniform(key, (batch, C_))
+        _, idx = jax.lax.top_k(scores, self.num_drop)
+        drop = jnp.zeros((batch, C_), bool)
+        drop = drop.at[jnp.arange(batch)[:, None], idx].set(True)
+        return {"drop": drop}
+
+    def apply(self, x, params):
+        m = params["drop"][:, :, None, None]
+        return jnp.where(m, self.fill_value, x)
+
+
+class RandomErasing(IntensityAugmentationBase2D):
+    """Rectangle erasing (reference: _2d/intensity/erasing.py)."""
+
+    def __init__(self, scale=(0.02, 0.33), ratio=(0.3, 3.3), value=0.0, **kw):
+        super().__init__(**kw)
+        self.scale = scale
+        self.ratio = ratio
+        self.value = value
+
+    def sample_params(self, key, batch, shape):
+        H, W = shape[-2:]
+        ks = jax.random.split(key, 4)
+        area = self._uniform(ks[0], batch, *self.scale) * H * W
+        log_ratio = self._uniform(ks[1], batch, jnp.log(self.ratio[0]),
+                                  jnp.log(self.ratio[1]))
+        ratio = jnp.exp(log_ratio)
+        h = jnp.sqrt(area * ratio)
+        w = jnp.sqrt(area / ratio)
+        h = jnp.clip(h, 1, H)
+        w = jnp.clip(w, 1, W)
+        y0 = self._uniform(ks[2], batch, 0.0, 1.0) * (H - h)
+        x0 = self._uniform(ks[3], batch, 0.0, 1.0) * (W - w)
+        return {"y0": y0, "x0": x0, "h": h, "w": w}
+
+    def apply(self, x, params):
+        H, W = x.shape[-2:]
+        ys = jnp.arange(H, dtype=x.dtype)[None, :, None]
+        xs = jnp.arange(W, dtype=x.dtype)[None, None, :]
+        y0 = params["y0"][:, None, None]
+        x0 = params["x0"][:, None, None]
+        h = params["h"][:, None, None]
+        w = params["w"][:, None, None]
+        inside = ((ys >= y0) & (ys < y0 + h) & (xs >= x0) & (xs < x0 + w))
+        return jnp.where(inside[:, None], self.value, x)
+
+
+class RandomSaltAndPepper(IntensityAugmentationBase2D):
+    def __init__(self, amount=(0.01, 0.06), salt_vs_pepper=(0.4, 0.6), **kw):
+        super().__init__(**kw)
+        self.amount = _as_range(amount, (0.01, 0.06))
+        self.svp = _as_range(salt_vs_pepper, (0.4, 0.6))
+
+    def sample_params(self, key, batch, shape):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        B, C_, H, W = shape
+        amount = self._uniform(k1, batch, *self.amount)[:, None, None]
+        svp = self._uniform(k2, batch, *self.svp)[:, None, None]
+        u = jax.random.uniform(k3, (B, H, W))
+        salt = u < amount * svp
+        pepper = (u >= amount * svp) & (u < amount)
+        return {"salt": salt, "pepper": pepper}
+
+    def apply(self, x, params):
+        x = jnp.where(params["salt"][:, None], 1.0, x)
+        return jnp.where(params["pepper"][:, None], 0.0, x)
+
+
+class RandomRGBShift(IntensityAugmentationBase2D):
+    def __init__(self, r_shift_limit=0.5, g_shift_limit=0.5,
+                 b_shift_limit=0.5, **kw):
+        super().__init__(**kw)
+        self.limits = (r_shift_limit, g_shift_limit, b_shift_limit)
+
+    def sample_params(self, key, batch, shape):
+        ks = jax.random.split(key, 3)
+        return {
+            "r": self._uniform(ks[0], batch, -self.limits[0], self.limits[0]),
+            "g": self._uniform(ks[1], batch, -self.limits[1], self.limits[1]),
+            "b": self._uniform(ks[2], batch, -self.limits[2], self.limits[2]),
+        }
+
+    def apply(self, x, params):
+        return E.shift_rgb(x, params["r"], params["g"], params["b"])
+
+
+_PLANCKIAN_BLACKBODY = jnp.array(
+    # (temperature-indexed r/b gains, 3000K..15000K in 14 steps; CIE approx)
+    [[1.7317, 0.5217], [1.5521, 0.5963], [1.4103, 0.6686], [1.2973, 0.7371],
+     [1.2061, 0.8012], [1.1317, 0.8608], [1.0702, 0.9159], [1.0189, 0.9668],
+     [0.9756, 1.0137], [0.9387, 1.0571], [0.9071, 1.0972], [0.8797, 1.1343],
+     [0.8557, 1.1687], [0.8347, 1.2007]])
+
+
+class RandomPlanckianJitter(IntensityAugmentationBase2D):
+    """Physically-plausible white-balance jitter
+    (reference: _2d/intensity/planckian_jitter.py)."""
+
+    def sample_params(self, key, batch, shape):
+        n = _PLANCKIAN_BLACKBODY.shape[0]
+        if self.same_on_batch:
+            i = jax.random.randint(key, (), 0, n)
+            idx = jnp.broadcast_to(i, (batch,))
+        else:
+            idx = jax.random.randint(key, (batch,), 0, n)
+        return {"gains": _PLANCKIAN_BLACKBODY[idx]}
+
+    def apply(self, x, params):
+        g = params["gains"]
+        r = jnp.clip(x[:, 0:1] * g[:, 0].reshape(-1, 1, 1, 1), 0, 1)
+        b = jnp.clip(x[:, 2:3] * g[:, 1].reshape(-1, 1, 1, 1), 0, 1)
+        return jnp.concatenate([r, x[:, 1:2], b], axis=1)
+
+
+class RandomLinearIllumination(IntensityAugmentationBase2D):
+    """Linear illumination gradient (reference: _2d/intensity/illumination.py)."""
+
+    def __init__(self, gain=(0.01, 0.2), **kw):
+        super().__init__(**kw)
+        self.gain_rng = _as_range(gain, (0.01, 0.2))
+
+    def sample_params(self, key, batch, shape):
+        k1, k2 = jax.random.split(key)
+        return {"gain": self._uniform(k1, batch, *self.gain_rng),
+                "angle": self._uniform(k2, batch, -jnp.pi, jnp.pi)}
+
+    def apply(self, x, params):
+        H, W = x.shape[-2:]
+        ys = jnp.linspace(-1, 1, H)[None, :, None]
+        xs = jnp.linspace(-1, 1, W)[None, None, :]
+        a = params["angle"][:, None, None]
+        ramp = xs * jnp.cos(a) + ys * jnp.sin(a)  # (B, H, W)
+        gain = params["gain"][:, None, None]
+        return jnp.clip(x + (gain * ramp)[:, None], 0.0, 1.0)
+
+
+class RandomPlasmaBrightness(IntensityAugmentationBase2D):
+    """Fractal brightness field (reference: _2d/intensity/plasma.py)."""
+
+    def __init__(self, roughness=(0.1, 0.7), intensity=(0.0, 0.4), **kw):
+        super().__init__(**kw)
+        self.roughness = _as_range(roughness, (0.1, 0.7))
+        self.intensity = _as_range(intensity, (0.0, 0.4))
+
+    def sample_params(self, key, batch, shape):
+        from ..contrib.ops import diamond_square
+        k1, k2, k3 = jax.random.split(key, 3)
+        B, C_, H, W = shape
+        rough = float(jnp.mean(jnp.asarray(self.roughness)))
+        field = diamond_square((B, 1, H, W), rough, key=k1)
+        return {"field": field,
+                "intensity": self._uniform(k3, batch, *self.intensity)}
+
+    def apply(self, x, params):
+        i = params["intensity"][:, None, None, None]
+        return jnp.clip(x + i * (2.0 * params["field"] - 1.0), 0.0, 1.0)
+
+
+class RandomPlasmaShadow(IntensityAugmentationBase2D):
+    def __init__(self, roughness=(0.1, 0.7), shade_intensity=(-1.0, 0.0),
+                 shade_quantity=(0.0, 1.0), **kw):
+        super().__init__(**kw)
+        self.roughness = _as_range(roughness, (0.1, 0.7))
+        self.intensity = _as_range(shade_intensity, (-1.0, 0.0))
+        self.quantity = _as_range(shade_quantity, (0.0, 1.0))
+
+    def sample_params(self, key, batch, shape):
+        from ..contrib.ops import diamond_square
+        k1, k2, k3 = jax.random.split(key, 3)
+        B, C_, H, W = shape
+        rough = float(jnp.mean(jnp.asarray(self.roughness)))
+        field = diamond_square((B, 1, H, W), rough, key=k1)
+        return {"field": field,
+                "intensity": self._uniform(k2, batch, *self.intensity),
+                "quantity": self._uniform(k3, batch, *self.quantity)}
+
+    def apply(self, x, params):
+        shade = (params["field"] < params["quantity"][:, None, None, None])
+        i = params["intensity"][:, None, None, None]
+        return jnp.clip(x + shade * i, 0.0, 1.0)
+
+
+class Normalize(IntensityAugmentationBase2D):
+    def __init__(self, mean, std, **kw):
+        super().__init__(p=1.0, **kw)
+        self.mean = mean
+        self.std = std
+
+    def apply(self, x, params):
+        return E.normalize(x, self.mean, self.std)
+
+
+class Denormalize(IntensityAugmentationBase2D):
+    def __init__(self, mean, std, **kw):
+        super().__init__(p=1.0, **kw)
+        self.mean = mean
+        self.std = std
+
+    def apply(self, x, params):
+        return E.denormalize(x, self.mean, self.std)
