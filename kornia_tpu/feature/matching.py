@@ -156,15 +156,25 @@ def match_fginn(desc1: jax.Array, desc2: jax.Array,
 
 
 class DescriptorMatcher:
-    """(reference: matching.py:331)."""
+    """(reference: matching.py:331).
 
-    def __init__(self, match_mode: str = "snn", th: float = 0.8):
+    With ``use_pallas=True`` (and mode smnn/nn), matching runs through the
+    streaming Pallas kernel (ops/pallas_kernels.py) — no (N, M) distance
+    matrix in HBM; preferable for N ≥ ~4k descriptors on TPU."""
+
+    def __init__(self, match_mode: str = "snn", th: float = 0.8,
+                 use_pallas: bool = False):
         self.match_mode = match_mode
         self.th = th
+        self.use_pallas = use_pallas
 
     def __call__(self, desc1: jax.Array, desc2: jax.Array,
                  mask1: Optional[jax.Array] = None,
                  mask2: Optional[jax.Array] = None):
+        if self.use_pallas and self.match_mode == "smnn" and mask1 is None \
+                and mask2 is None:
+            from ..ops.pallas_kernels import match_smnn_pallas
+            return match_smnn_pallas(desc1, desc2, self.th)
         if self.match_mode == "nn":
             return match_nn(desc1, desc2, mask1, mask2)
         if self.match_mode == "mnn":

@@ -1,0 +1,128 @@
+"""Pallas TPU kernels for the hot paths (SURVEY.md §7: "The one hot
+kernel" tier).
+
+`streaming_min2`: flash-attention-style streaming nearest-neighbor — the
+descriptor distance matrix is computed tile-by-tile on the MXU and reduced
+to per-row (min1, min2, argmin1) on the fly, so the (N, M) matrix never
+touches HBM. For N=M=8192, D=128 this avoids 256 MB of HBM traffic per
+direction — the matcher becomes compute-bound instead of bandwidth-bound.
+
+Falls back to the XLA path on non-TPU backends (interpret mode in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["streaming_min2", "match_nn_pallas", "match_smnn_pallas"]
+
+_BIG = 1e9  # plain float: jnp constants can't be captured inside kernels
+
+
+def _min2_kernel(d1_ref, d2_ref, n2_ref, min1_ref, min2_ref, idx_ref):
+    """Grid (i, j): rows tile i fixed while j streams over d2 tiles."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        min1_ref[:] = jnp.full_like(min1_ref, _BIG)
+        min2_ref[:] = jnp.full_like(min2_ref, _BIG)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+
+    d1 = d1_ref[:]  # (TN, D)
+    d2 = d2_ref[:]  # (TM, D)
+    n2 = n2_ref[:]  # (1, TM) squared norms of d2 rows
+    n1 = jnp.sum(d1 * d1, axis=-1, keepdims=True)  # (TN, 1)
+    dots = jax.lax.dot_general(
+        d1, d2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dm = jnp.maximum(n1 + n2 - 2.0 * dots, 0.0)  # (TN, TM)
+
+    TM = dm.shape[1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, dm.shape, 1)
+    # tile-local top-2 (min): find min, mask exactly the argmin, find second
+    tmin1 = jnp.min(dm, axis=1, keepdims=True)
+    targ1 = jnp.argmin(dm, axis=1)
+    masked = jnp.where(col_ids == targ1[:, None], _BIG, dm)
+    tmin2 = jnp.min(masked, axis=1)
+    tmin1 = tmin1[:, 0]
+    targ1 = targ1 + j * TM
+
+    # merge tile stats into running (min1, min2, idx)
+    m1 = min1_ref[:][:, 0]
+    m2 = min2_ref[:][:, 0]
+    ix = idx_ref[:][:, 0]
+    new_m1 = jnp.minimum(m1, tmin1)
+    new_ix = jnp.where(tmin1 < m1, targ1, ix)
+    # second-best = min of the losers and both second-bests
+    new_m2 = jnp.minimum(jnp.maximum(m1, tmin1), jnp.minimum(m2, tmin2))
+    min1_ref[:] = new_m1[:, None]
+    min2_ref[:] = new_m2[:, None]
+    idx_ref[:] = new_ix[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
+def streaming_min2(d1: jax.Array, d2: jax.Array, tile_n: int = 256,
+                   tile_m: int = 256, interpret: bool = False
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-row nearest and second-nearest squared-L2 over d2.
+
+    d1 (N, D), d2 (M, D) → (min1 (N,), min2 (N,), argmin1 (N,)).
+    N, M should be multiples of the tile sizes (pad with _BIG rows).
+    """
+    N, D = d1.shape
+    M = d2.shape[0]
+    tile_n = min(tile_n, N)
+    tile_m = min(tile_m, M)
+    n2 = jnp.sum(d2 * d2, axis=-1)[None, :]  # (1, M)
+    grid = (N // tile_n, M // tile_m)
+    out_shape = (
+        jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        jax.ShapeDtypeStruct((N, 1), jnp.int32),
+    )
+    min1, min2, idx = pl.pallas_call(
+        _min2_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_m, D), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0)),
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(d1.astype(jnp.float32), d2.astype(jnp.float32), n2.astype(jnp.float32))
+    return min1[:, 0], min2[:, 0], idx[:, 0]
+
+
+def match_nn_pallas(d1: jax.Array, d2: jax.Array, interpret: bool = False):
+    """Nearest-neighbor matching via the streaming kernel."""
+    m1, _, idx = streaming_min2(d1, d2, interpret=interpret)
+    matches = jnp.stack([jnp.arange(d1.shape[0]), idx], -1)
+    return m1[:, None], matches
+
+
+def match_smnn_pallas(d1: jax.Array, d2: jax.Array, th: float = 0.95,
+                      interpret: bool = False):
+    """Symmetric-ratio mutual NN (reference matching.py:197 semantics) with
+    both passes streamed — no (N, M) matrix in HBM."""
+    f_min1, f_min2, f_idx = streaming_min2(d1, d2, interpret=interpret)
+    b_min1, b_min2, b_idx = streaming_min2(d2, d1, interpret=interpret)
+    ratio_f = jnp.sqrt(f_min1 / jnp.maximum(f_min2, 1e-12))
+    ratio_b = jnp.sqrt(b_min1 / jnp.maximum(b_min2, 1e-12))
+    mutual = b_idx[f_idx] == jnp.arange(d1.shape[0])
+    valid = mutual & (ratio_f <= th) & (ratio_b[f_idx] <= th) & \
+        (f_min1 < _BIG / 2)
+    ratio_max = jnp.maximum(ratio_f, ratio_b[f_idx])
+    matches = jnp.stack([jnp.arange(d1.shape[0]), f_idx], -1)
+    return ratio_max[:, None], matches, valid

@@ -1,0 +1,38 @@
+"""Pallas kernels run in interpret mode on the CPU test mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kornia_tpu.feature.matching import distance_matrix, match_smnn
+from kornia_tpu.ops.pallas_kernels import match_smnn_pallas, streaming_min2
+
+
+class TestStreamingMin2:
+    def test_matches_full_matrix(self, key):
+        d1 = jax.random.normal(key, (512, 128))
+        d2 = jax.random.normal(jax.random.fold_in(key, 1), (512, 128))
+        m1, m2, idx = streaming_min2(d1, d2, interpret=True)
+        dm = distance_matrix(d1, d2)
+        top2 = -jax.lax.top_k(-dm, 2)[0]
+        np.testing.assert_allclose(m1, jnp.min(dm, 1), atol=1e-3)
+        np.testing.assert_allclose(m2, top2[:, 1], atol=1e-3)
+        np.testing.assert_array_equal(idx, jnp.argmin(dm, 1))
+
+    def test_rectangular(self, key):
+        d1 = jax.random.normal(key, (256, 64))
+        d2 = jax.random.normal(jax.random.fold_in(key, 1), (512, 64))
+        m1, _, idx = streaming_min2(d1, d2, interpret=True)
+        dm = distance_matrix(d1, d2)
+        np.testing.assert_allclose(m1, jnp.min(dm, 1), atol=1e-3)
+        np.testing.assert_array_equal(idx, jnp.argmin(dm, 1))
+
+    def test_smnn_agrees_with_xla(self, key):
+        d1 = jax.random.normal(key, (256, 64))
+        d2 = jax.random.normal(jax.random.fold_in(key, 2), (256, 64))
+        rd, mt, v = match_smnn_pallas(d1, d2, 0.95, interpret=True)
+        rd2, mt2, v2 = match_smnn(d1, d2, 0.95)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(mt[v][:, 1]),
+                                      np.asarray(mt2[v2][:, 1]))
