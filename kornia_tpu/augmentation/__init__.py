@@ -6,4 +6,15 @@ from .base import (
 from .container import AugmentationSequential, DataKey, ImageSequential
 from .geometric import *  # noqa: F401,F403
 from .intensity import *  # noqa: F401,F403
+from .auto import AutoAugment, RandAugment, TrivialAugment
 from .mix import RandomCutMixV2, RandomJigsaw, RandomMixUpV2, RandomMosaic
+from .volumetric import (
+    CenterCrop3D,
+    RandomAffine3D,
+    RandomCrop3D,
+    RandomDepthicalFlip3D,
+    RandomEqualize3D,
+    RandomHorizontalFlip3D,
+    RandomRotation3D,
+    RandomVerticalFlip3D,
+)

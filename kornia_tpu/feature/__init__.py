@@ -1,4 +1,24 @@
-from . import detector, hardnet, integrated, laf, matching, orientation, responses, siftdesc
+from . import (
+    descriptors,
+    detector,
+    hardnet,
+    integrated,
+    laf,
+    matching,
+    orientation,
+    responses,
+    siftdesc,
+)
+from .descriptors import (
+    DiscreteSteerer,
+    HyNet,
+    KeyNet,
+    LAFAffineShapeEstimator,
+    MKDGradientDescriptor,
+    PatchAffineShapeEstimator,
+    SOSNet,
+    TFeat,
+)
 from .detector import ScaleSpaceDetector, detect_features_single_scale
 from .hardnet import HardNet
 from .integrated import (

@@ -27,7 +27,24 @@ class ImageLoadType(enum.Enum):
 
 def load_image(path: str, desired_type: ImageLoadType = ImageLoadType.RGB32,
                device=None) -> jax.Array:
-    """Load → (C, H, W) array (reference: io.py:159)."""
+    """Load → (C, H, W) array (reference: io.py:159). Uses the native C++
+    decoder (libjpeg/libpng, io/native.py) when built; PIL otherwise."""
+    from .native import native_available, read_image_native
+    if native_available() and path.lower().endswith(
+            (".jpg", ".jpeg", ".png")) and desired_type in (
+            ImageLoadType.RGB8, ImageLoadType.RGB32, ImageLoadType.GRAY8,
+            ImageLoadType.GRAY32):
+        arr = read_image_native(path)  # (H, W, 3) u8
+        if desired_type in (ImageLoadType.GRAY8, ImageLoadType.GRAY32):
+            arr = (0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+                   + 0.114 * arr[..., 2]).astype(np.uint8)[..., None]
+        arr = np.moveaxis(arr, -1, 0)
+        if desired_type in (ImageLoadType.GRAY32, ImageLoadType.RGB32):
+            arr = arr.astype(np.float32) / 255.0
+        out = jnp.asarray(arr)
+        if device is not None:
+            out = jax.device_put(out, device)
+        return out
     from PIL import Image as PILImage
     pil = PILImage.open(path)
     if desired_type in (ImageLoadType.GRAY8, ImageLoadType.GRAY32):

@@ -63,6 +63,7 @@ __all__ = [
     "guided_blur",
     "max_blur_pool2d",
     "blur_pool2d",
+    "in_range",
     # gradients / edges
     "spatial_gradient",
     "spatial_gradient3d",
@@ -519,6 +520,18 @@ def max_blur_pool2d(x: jax.Array, kernel_size: int = 3, stride: int = 2,
         (1, 1, max_pool_size, max_pool_size), (1, 1, 1, 1), "SAME",
     )
     return blur_pool2d(x, kernel_size, stride)
+
+
+def in_range(x: jax.Array, lower, upper, return_mask: bool = False
+             ) -> jax.Array:
+    """Per-channel range thresholding (reference: filters/in_range.py).
+    lower/upper: per-channel sequences. Returns (B, 1, H, W) mask."""
+    x = as_float(x)
+    C = x.shape[1]
+    lo = jnp.asarray(lower, x.dtype).reshape(1, -1, 1, 1)
+    hi = jnp.asarray(upper, x.dtype).reshape(1, -1, 1, 1)
+    ok = jnp.all((x >= lo) & (x <= hi), axis=1, keepdims=True)
+    return ok if return_mask else ok.astype(x.dtype)
 
 
 # -----------------------------------------------------------------------------
