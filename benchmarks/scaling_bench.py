@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Weak-scaling benchmark for distributed bundle adjustment
+(BASELINE.json config 5: BA iters/s at N devices, weak-scaling efficiency).
+
+Runs distributed BA on 1, 2, 4, 8 devices with the map size PROPORTIONAL
+to the device count (weak scaling) and reports iters/s + efficiency.
+
+Default: virtual CPU devices (XLA_FLAGS=--xla_force_host_platform_device_count=8)
+so the collective path is exercised anywhere; on a pod slice the same code
+runs over ICI.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+        " --xla_force_host_platform_device_count=8"
+
+import jax
+
+# default to the 8-device virtual CPU mesh; set KTPU_SCALING_PLATFORM=tpu
+# on a real pod slice to run the same code over ICI. (Must run before any
+# device query — the axon sitecustomize pre-imports jax with 1 chip.)
+if os.environ.get("KTPU_SCALING_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(D: int, P_per_dev: int = 64, C: int = 8, iters: int = 6):
+    from kornia_tpu.geometry.liegroup import Se3
+    from kornia_tpu.parallel.dist_ba import distributed_bundle_adjust
+    from kornia_tpu.parallel.mesh import make_mesh
+    from kornia_tpu.slam.ba import BAProblem, BAState, reprojection_residuals
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    P = D * P_per_dev
+    angles = jnp.linspace(-0.3, 0.3, C)
+    poses = Se3.exp(jnp.stack([jnp.zeros(C)] * 4 + [angles, jnp.zeros(C)], -1))
+    poses = Se3(poses.r, poses.t + jnp.stack(
+        [jnp.linspace(-1, 1, C), jnp.zeros(C), jnp.zeros(C)], -1))
+    X = jax.random.normal(ks[0], (P, 3)) * 1.5 + jnp.array([0.0, 0, 6.0])
+    K = jnp.array([[200.0, 0, 128], [0, 200, 96], [0, 0, 1]])
+    cam_idx = jnp.concatenate(
+        [jnp.repeat(jnp.arange(C), P_per_dev) for _ in range(D)])
+    pt_local = jnp.concatenate(
+        [jnp.tile(jnp.arange(P_per_dev), C) for _ in range(D)])
+    pt_global = jnp.concatenate(
+        [jnp.tile(jnp.arange(P_per_dev), C) + s * P_per_dev for s in range(D)])
+    state_gt = BAState(poses, X)
+    prob = BAProblem(cam_idx, pt_global, jnp.zeros((cam_idx.shape[0], 2)),
+                     jnp.ones(cam_idx.shape[0], bool), K)
+    uv = reprojection_residuals(state_gt, prob)
+    uv = uv + 0.3 * jax.random.normal(ks[1], uv.shape)
+    state0 = BAState(
+        Se3((Se3.exp(0.02 * jax.random.normal(ks[2], (C, 6))).r * poses.r),
+            poses.t + 0.05 * jax.random.normal(ks[3], (C, 3))),
+        X + 0.1 * jax.random.normal(ks[4], (P, 3)))
+    mesh = make_mesh((D, 1), devices=jax.devices()[:D])
+    valid = jnp.ones(cam_idx.shape[0], bool)
+    # warm up (compile)
+    st, costs = distributed_bundle_adjust(
+        mesh, state0, cam_idx, pt_local, uv, valid, K, C, num_iters=iters)
+    jax.block_until_ready(costs)
+    t0 = time.perf_counter()
+    st, costs = distributed_bundle_adjust(
+        mesh, state0, cam_idx, pt_local, uv, valid, K, C, num_iters=iters)
+    jax.block_until_ready(costs)
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def main():
+    results = {}
+    base = None
+    for D in (1, 2, 4, 8):
+        if D > jax.device_count():
+            break
+        ips = run(D)
+        if base is None:
+            base = ips
+        results[f"ba_iters_per_s_{D}dev"] = round(ips, 2)
+        results[f"weak_scaling_eff_{D}dev"] = round(ips / base, 3)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
