@@ -7,6 +7,8 @@ from .container import AugmentationSequential, DataKey, ImageSequential
 from .geometric import *  # noqa: F401,F403
 from .intensity import *  # noqa: F401,F403
 from .auto import AutoAugment, RandAugment, TrivialAugment
+from .presets import AdaptiveDiscriminatorAugmentation
+from .video import PatchSequential, VideoSequential
 from .mix import RandomCutMixV2, RandomJigsaw, RandomMixUpV2, RandomMosaic
 from .volumetric import (
     CenterCrop3D,
