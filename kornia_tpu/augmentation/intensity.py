@@ -44,6 +44,7 @@ __all__ = [
     "RandomLinearIllumination",
     "RandomPlasmaBrightness",
     "RandomPlasmaShadow",
+    "RandomJPEG",
     "Normalize",
     "Denormalize",
 ]
@@ -518,6 +519,22 @@ class RandomPlasmaShadow(IntensityAugmentationBase2D):
         shade = (params["field"] < params["quantity"][:, None, None, None])
         i = params["intensity"][:, None, None, None]
         return jnp.clip(x + shade * i, 0.0, 1.0)
+
+
+class RandomJPEG(IntensityAugmentationBase2D):
+    """Differentiable JPEG degradation (reference: _2d/intensity/jpeg.py,
+    backed by enhance/jpeg.py). H, W must be multiples of 16."""
+
+    def __init__(self, jpeg_quality=(10.0, 90.0), **kw):
+        super().__init__(**kw)
+        self.quality_rng = _as_range(jpeg_quality, (10.0, 90.0))
+
+    def sample_params(self, key, batch, shape):
+        return {"quality": self._uniform(key, batch, *self.quality_rng)}
+
+    def apply(self, x, params):
+        from ..ops.jpeg import jpeg_codec_differentiable
+        return jpeg_codec_differentiable(x, params["quality"])
 
 
 class Normalize(IntensityAugmentationBase2D):
