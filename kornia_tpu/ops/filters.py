@@ -52,6 +52,9 @@ __all__ = [
     "filter2d",
     "filter2d_separable",
     "filter3d",
+    "fft_conv2d",
+    "correlate2d",
+    "convolve2d",
     # blurs
     "box_blur",
     "gaussian_blur2d",
@@ -371,6 +374,42 @@ def filter3d(
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
         feature_group_count=C,
     )
+
+
+def fft_conv2d(x: jax.Array, kernel: jax.Array,
+               border_type: str = "constant") -> jax.Array:
+    """FFT-domain convolution for large kernels (reference:
+    filters/filter.py:322 fft_conv). Same-size output, correlation
+    semantics to match filter2d."""
+    x = as_float(x)
+    B, C, H, W = x.shape
+    kernel = kernel.astype(x.dtype)
+    kh, kw = kernel.shape[-2:]
+    xp = _pad2d(x, (kh // 2, (kh - 1) // 2, kw // 2, (kw - 1) // 2), border_type)
+    Hp, Wp = xp.shape[-2:]
+    # correlation = convolution with flipped kernel
+    k = jnp.flip(kernel, axis=(-2, -1))
+    kpad = jnp.zeros((k.shape[0], Hp, Wp), x.dtype)
+    kpad = jax.lax.dynamic_update_slice(kpad, k, (0, 0, 0))
+    Xf = jnp.fft.rfft2(xp)
+    Kf = jnp.fft.rfft2(kpad)
+    if k.shape[0] == 1:
+        out = jnp.fft.irfft2(Xf * Kf[None], s=(Hp, Wp))
+    else:
+        out = jnp.fft.irfft2(Xf * Kf[:, None], s=(Hp, Wp))
+    return out[..., kh - 1 : kh - 1 + H, kw - 1 : kw - 1 + W]
+
+
+def correlate2d(x: jax.Array, kernel: jax.Array,
+                border_type: str = "reflect") -> jax.Array:
+    """Alias of filter2d's correlation semantics (reference: filter.py:460)."""
+    return filter2d(x, kernel, border_type)
+
+
+def convolve2d(x: jax.Array, kernel: jax.Array,
+               border_type: str = "reflect") -> jax.Array:
+    """True convolution: kernel flipped (reference: filter.py:497)."""
+    return filter2d(x, jnp.flip(kernel, axis=(-2, -1)), border_type)
 
 
 # -----------------------------------------------------------------------------
