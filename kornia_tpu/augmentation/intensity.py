@@ -70,7 +70,10 @@ class RandomBrightness(IntensityAugmentationBase2D):
         return {"factor": self._uniform(key, batch, *self.rng)}
 
     def apply(self, x, params):
-        return E.adjust_brightness(x, params["factor"], self.clip_output)
+        # reference RandomBrightness samples a factor around 1 and applies
+        # the ADDITIVE adjust with (factor - 1)
+        return E.adjust_brightness(x, params["factor"] - 1.0,
+                                   self.clip_output)
 
 
 class RandomContrast(IntensityAugmentationBase2D):
@@ -151,7 +154,7 @@ class ColorJiggle(IntensityAugmentationBase2D):
         }
 
     def apply(self, x, params):
-        x = E.adjust_brightness(x, params["brightness"])
+        x = E.adjust_brightness(x, params["brightness"] - 1.0)
         x = E.adjust_contrast(x, params["contrast"])
         x = E.adjust_saturation(x, params["saturation"])
         x = E.adjust_hue(x, params["hue"] * 2.0 * jnp.pi)

@@ -21,17 +21,22 @@ __all__ = [
 ]
 
 
-def _structure_tensor(input: jax.Array, grads_mode: str,
-                      sigmas: Optional[jax.Array]) -> Tuple[jax.Array, ...]:
+def _sigma4(scores: jax.Array, sigmas: Optional[jax.Array]) -> jax.Array:
+    """Scale-normalization: scores × sigma⁴ (reference semantics — the
+    reference multiplies final scores, responses.py)."""
+    if sigmas is None:
+        return scores
+    s = jnp.reshape(sigmas, (-1, 1, 1, 1))
+    return scores * jnp.power(s, 4)
+
+
+def _structure_tensor(input: jax.Array, grads_mode: str) -> Tuple[jax.Array, ...]:
     grads = spatial_gradient(input, grads_mode)
     dx = grads[:, :, 0]
     dy = grads[:, :, 1]
-    if sigmas is not None:
-        dx = dx * sigmas
-        dy = dy * sigmas
-    dx2 = gaussian_blur2d(dx * dx, 7, 1.0, border_type="replicate")
-    dy2 = gaussian_blur2d(dy * dy, 7, 1.0, border_type="replicate")
-    dxy = gaussian_blur2d(dx * dy, 7, 1.0, border_type="replicate")
+    dx2 = gaussian_blur2d(dx * dx, 7, 1.0, border_type="reflect")
+    dy2 = gaussian_blur2d(dy * dy, 7, 1.0, border_type="reflect")
+    dxy = gaussian_blur2d(dx * dy, 7, 1.0, border_type="reflect")
     return dx2, dy2, dxy
 
 
@@ -40,22 +45,22 @@ def harris_response(input: jax.Array, k: float = 0.04,
                     sigmas: Optional[jax.Array] = None) -> jax.Array:
     """det(M) - k tr(M)² (reference: responses.py:39)."""
     input = as_float(input)
-    dx2, dy2, dxy = _structure_tensor(input, grads_mode, sigmas)
+    dx2, dy2, dxy = _structure_tensor(input, grads_mode)
     det = dx2 * dy2 - dxy * dxy
     trace = dx2 + dy2
-    return det - k * trace * trace
+    return _sigma4(det - k * trace * trace, sigmas)
 
 
 def gftt_response(input: jax.Array, grads_mode: str = "sobel",
                   sigmas: Optional[jax.Array] = None) -> jax.Array:
-    """Smallest structure-tensor eigenvalue (reference: responses.py:129)."""
+    """Smallest structure-tensor eigenvalue (reference: responses.py:129 —
+    signed min of the two eigenvalues)."""
     input = as_float(input)
-    dx2, dy2, dxy = _structure_tensor(input, grads_mode, sigmas)
-    half_tr = 0.5 * (dx2 + dy2)
+    dx2, dy2, dxy = _structure_tensor(input, grads_mode)
+    trace = dx2 + dy2
     det = dx2 * dy2 - dxy * dxy
-    e1 = half_tr + jnp.sqrt(jnp.maximum(half_tr * half_tr - det, 0.0) + 1e-12)
-    e2 = half_tr - jnp.sqrt(jnp.maximum(half_tr * half_tr - det, 0.0) + 1e-12)
-    return jnp.minimum(jnp.abs(e1), jnp.abs(e2))
+    e2 = 0.5 * (trace - jnp.sqrt(jnp.abs(trace * trace - 4.0 * det)))
+    return _sigma4(e2, sigmas)
 
 
 def hessian_response(input: jax.Array, grads_mode: str = "sobel",
@@ -66,10 +71,7 @@ def hessian_response(input: jax.Array, grads_mode: str = "sobel",
     dxx = grads[:, :, 0]
     dxy = grads[:, :, 1]
     dyy = grads[:, :, 2]
-    if sigmas is not None:
-        scale = sigmas * sigmas
-        return (dxx * dyy - dxy * dxy) * scale * scale
-    return dxx * dyy - dxy * dxy
+    return _sigma4(dxx * dyy - dxy * dxy, sigmas)
 
 
 def dog_response(input: jax.Array) -> jax.Array:

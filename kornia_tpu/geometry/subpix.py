@@ -28,14 +28,22 @@ __all__ = [
 
 def nms2d(x: jax.Array, kernel_size: Tuple[int, int] = (3, 3),
           mask_only: bool = False) -> jax.Array:
-    """Hard NMS: keep values equal to the local window max
-    (reference: subpix/nms.py:324)."""
+    """Hard NMS: keep values STRICTLY greater than every neighbor in the
+    window (center excluded; replicate padding) — exact reference
+    semantics (subpix/nms.py NonMaximaSuppression2d: plateaus die)."""
     x = as_float(x)
     kh, kw = kernel_size
-    pooled = lax.reduce_window(
-        x, -jnp.inf, lax.max, (1, 1, kh, kw), (1, 1, 1, 1), "SAME"
-    )
-    mask = x == pooled
+    B, C, H, W = x.shape
+    xp = jnp.pad(x, [(0, 0), (0, 0), (kh // 2, (kh - 1) // 2),
+                     (kw // 2, (kw - 1) // 2)], mode="edge")
+    max_non_center = jnp.full_like(x, -jnp.inf)
+    for dy in range(kh):
+        for dx in range(kw):
+            if dy == kh // 2 and dx == kw // 2:
+                continue
+            tap = lax.dynamic_slice(xp, (0, 0, dy, dx), (B, C, H, W))
+            max_non_center = jnp.maximum(max_non_center, tap)
+    mask = x > max_non_center
     if mask_only:
         return mask
     return x * mask.astype(x.dtype)

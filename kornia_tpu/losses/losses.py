@@ -65,14 +65,14 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     C1 = (0.01 * max_val) ** 2
     C2 = (0.03 * max_val) ** 2
     sigma = 1.5
-    mu1 = gaussian_blur2d(img1, window_size, sigma, border_type="replicate")
-    mu2 = gaussian_blur2d(img2, window_size, sigma, border_type="replicate")
+    mu1 = gaussian_blur2d(img1, window_size, sigma, border_type="reflect")
+    mu2 = gaussian_blur2d(img2, window_size, sigma, border_type="reflect")
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu12 = mu1 * mu2
-    s1 = gaussian_blur2d(img1 * img1, window_size, sigma, border_type="replicate") - mu1_sq
-    s2 = gaussian_blur2d(img2 * img2, window_size, sigma, border_type="replicate") - mu2_sq
-    s12 = gaussian_blur2d(img1 * img2, window_size, sigma, border_type="replicate") - mu12
+    s1 = gaussian_blur2d(img1 * img1, window_size, sigma, border_type="reflect") - mu1_sq
+    s2 = gaussian_blur2d(img2 * img2, window_size, sigma, border_type="reflect") - mu2_sq
+    s12 = gaussian_blur2d(img1 * img2, window_size, sigma, border_type="reflect") - mu12
     num = (2.0 * mu12 + C1) * (2.0 * s12 + C2)
     den = (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
     return num / (den + eps)
@@ -137,13 +137,13 @@ def psnr_loss(image: jax.Array, target: jax.Array, max_val: float = 1.0) -> jax.
 
 
 def total_variation(img: jax.Array, reduction: str = "sum") -> jax.Array:
-    """(reference: losses/total_variation.py). Reduces over (C, H, W)."""
+    """(reference: losses/total_variation.py — reduces over the SPATIAL
+    dims only; output keeps batch and channel dims)."""
     img = as_float(img)
     dh = jnp.abs(img[..., 1:, :] - img[..., :-1, :])
     dw = jnp.abs(img[..., :, 1:] - img[..., :, :-1])
     red = jnp.sum if reduction == "sum" else jnp.mean
-    axes = tuple(range(img.ndim - 3, img.ndim - 1)) + (img.ndim - 1,)
-    return red(dh, axis=(-3, -2, -1)) + red(dw, axis=(-3, -2, -1))
+    return red(dh, axis=(-2, -1)) + red(dw, axis=(-2, -1))
 
 
 def inverse_depth_smoothness_loss(idepth: jax.Array, image: jax.Array) -> jax.Array:
@@ -171,12 +171,12 @@ def focal_loss(pred: jax.Array, target: jax.Array, alpha: float = 0.5,
     log_p = jax.nn.log_softmax(pred, axis=1)
     p = jnp.exp(log_p)
     oh = jax.nn.one_hot(target, num_classes, axis=1, dtype=pred.dtype)
-    focal = -alpha * jnp.power(1.0 - p, gamma) * log_p
-    loss = jnp.sum(oh * focal, axis=1)
+    # per-class loss map (zero off the true class) — the reference reduces
+    # over ALL dims including the class axis (losses/focal.py)
+    loss_map = -alpha * jnp.power(1.0 - p, gamma) * log_p * oh
     if weight is not None:
-        w = jnp.sum(oh * weight.reshape(1, -1, *([1] * (pred.ndim - 2))), axis=1)
-        loss = loss * w
-    return _reduce(loss, reduction)
+        loss_map = loss_map * weight.reshape(1, -1, *([1] * (pred.ndim - 2)))
+    return _reduce(loss_map, reduction)
 
 
 def binary_focal_loss_with_logits(pred: jax.Array, target: jax.Array,

@@ -204,11 +204,12 @@ def xyz_to_rgb(image: jax.Array) -> jax.Array:
     return _mat3_mix(as_float(image), _XYZ2RGB)
 
 
-_D65 = (0.950456, 1.0, 1.088754)
+_D65 = (0.95047, 1.0, 1.08883)  # reference lab.py white point
 
 
 def rgb_to_lab(image: jax.Array) -> jax.Array:
-    """CIE Lab, D65 (reference: color/lab.py). L in [0,100], a/b ~[-128,127]."""
+    """CIE Lab, D65 (reference: color/lab.py — exact semantics: clamped
+    cube root above the threshold, 116 f(y) − 16 for all y)."""
     image = as_float(image)
     xyz = rgb_to_xyz(rgb_to_linear_rgb(image))
     xn = jnp.array(_D65, dtype=image.dtype)
@@ -217,18 +218,19 @@ def rgb_to_lab(image: jax.Array) -> jax.Array:
     thresh = 0.008856
 
     def f(t):
-        return jnp.where(t > thresh, jnp.cbrt(jnp.maximum(t, 1e-12)),
-                         7.787 * t + 16.0 / 116.0)
+        return jnp.where(t > thresh,
+                         jnp.cbrt(jnp.clip(t, thresh, None)),
+                         7.787 * t + 4.0 / 29.0)
 
     fx, fy, fz = f(x), f(y), f(z)
-    L = jnp.where(y > thresh, 116.0 * jnp.cbrt(jnp.maximum(y, 1e-12)) - 16.0,
-                  903.3 * y)
+    L = 116.0 * fy - 16.0
     a = 500.0 * (fx - fy)
     b = 200.0 * (fy - fz)
     return jnp.concatenate([L, a, b], axis=-3)
 
 
 def lab_to_rgb(image: jax.Array, clip: bool = True) -> jax.Array:
+    """(reference: color/lab.py lab_to_rgb)."""
     image = as_float(image)
     L, a, b = _split3(image)
     fy = (L + 16.0) / 116.0
@@ -237,11 +239,11 @@ def lab_to_rgb(image: jax.Array, clip: bool = True) -> jax.Array:
 
     def finv(t):
         t3 = t**3
-        return jnp.where(t3 > 0.008856, t3, (t - 16.0 / 116.0) / 7.787)
+        return jnp.where(t3 > 0.008856, t3, (t - 4.0 / 29.0) / 7.787)
 
     xn = jnp.array(_D65, dtype=image.dtype)
     x = finv(fx) * xn[0]
-    y = jnp.where(L > 903.3 * 0.008856, ((L + 16.0) / 116.0) ** 3, L / 903.3) * xn[1]
+    y = finv(fy) * xn[1]
     z = finv(fz) * xn[2]
     rgb = linear_rgb_to_rgb(xyz_to_rgb(jnp.concatenate([x, y, z], axis=-3)))
     return jnp.clip(rgb, 0.0, 1.0) if clip else rgb
@@ -405,15 +407,15 @@ def raw_to_rgb(image: jax.Array, cfa: str = "BG") -> jax.Array:
     return jnp.concatenate([r, g, b], axis=-3)
 
 
-def sepia(image: jax.Array, rescale: bool = True, eps: float = 1e-8) -> jax.Array:
-    """Sepia tone (reference: color/sepia.py)."""
+def sepia(image: jax.Array, rescale: bool = True, eps: float = 1e-6) -> jax.Array:
+    """Sepia tone (reference: color/sepia.py — rescale divides by the
+    per-channel max)."""
     image = as_float(image)
     m = [[0.393, 0.769, 0.189], [0.349, 0.686, 0.168], [0.272, 0.534, 0.131]]
     out = _mat3_mix(image, m)
     if rescale:
-        mx = jnp.max(out, axis=(-3, -2, -1), keepdims=True)
-        mn = jnp.min(out, axis=(-3, -2, -1), keepdims=True)
-        out = (out - mn) / (mx - mn + eps)
+        mx = jnp.max(out, axis=(-2, -1), keepdims=True)
+        out = out / (mx + eps)
     return out
 
 

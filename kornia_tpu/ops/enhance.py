@@ -58,19 +58,21 @@ def add_weighted(src1: jax.Array, alpha: float, src2: jax.Array, beta: float,
 
 
 def adjust_brightness(image: jax.Array, factor, clip_output: bool = True) -> jax.Array:
-    """Multiplicative brightness, torchvision-compatible
-    (reference: enhance/adjust.py adjust_brightness)."""
+    """Additive brightness (Szeliski convention — reference:
+    enhance/adjust.py adjust_brightness)."""
     image = as_float(image)
     factor = _bcast_factor(factor, image)
-    out = image * factor
+    out = image + factor
     return jnp.clip(out, 0.0, 1.0) if clip_output else out
 
 
 def adjust_brightness_accumulative(image: jax.Array, factor,
                                    clip_output: bool = True) -> jax.Array:
+    """Multiplicative (accumulative) brightness (reference:
+    adjust.py adjust_brightness_accumulative)."""
     image = as_float(image)
     factor = _bcast_factor(factor, image)
-    out = image + factor
+    out = image * factor
     return jnp.clip(out, 0.0, 1.0) if clip_output else out
 
 
@@ -101,7 +103,21 @@ def adjust_contrast_with_mean_subtraction(image: jax.Array, factor) -> jax.Array
 
 
 def adjust_saturation(image: jax.Array, factor) -> jax.Array:
-    """Blend with grayscale (torchvision semantics; reference adjust.py)."""
+    """Scale the HSV saturation channel (reference: adjust.py
+    adjust_saturation via adjust_saturation_raw)."""
+    image = as_float(image)
+    factor = _bcast_factor(factor, image)
+    from .color import hsv_to_rgb, rgb_to_hsv
+    hsv = rgb_to_hsv(image)
+    s = jnp.clip(hsv[..., 1:2, :, :] * factor, 0.0, 1.0)
+    return hsv_to_rgb(jnp.concatenate(
+        [hsv[..., 0:1, :, :], s, hsv[..., 2:3, :, :]], axis=-3))
+
+
+def adjust_saturation_with_gray_subtraction(image: jax.Array, factor
+                                            ) -> jax.Array:
+    """Torchvision-style blend with grayscale (reference: adjust.py
+    adjust_saturation_with_gray_subtraction)."""
     image = as_float(image)
     factor = _bcast_factor(factor, image)
     from .color import rgb_to_grayscale
@@ -174,39 +190,45 @@ def posterize(image: jax.Array, bits) -> jax.Array:
 
 
 def sharpness(image: jax.Array, factor) -> jax.Array:
-    """Blend with a 3x3 smoothed copy (reference: adjust.py sharpness)."""
+    """Interpolate blurred→input by `factor` (0 = blurred, 1 = input,
+    >1 = sharpened); border pixels stay untouched (reference: adjust.py
+    sharpness — exact torch semantics)."""
     image = as_float(image)
     factor = _bcast_factor(factor, image)
     from .filters import filter2d
     kern = jnp.array([[[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]],
                      dtype=image.dtype) / 13.0
-    smooth = filter2d(image, kern, border_type="replicate")
-    # only interior pixels are blended (torch parity)
+    smooth = jnp.clip(
+        filter2d(image, kern, border_type="constant"), 0.0, 1.0)
+    # valid conv interior only; borders keep the input
     mask = jnp.zeros(image.shape[-2:], dtype=image.dtype)
     mask = mask.at[1:-1, 1:-1].set(1.0)
-    blended = image * (1.0 - factor) + smooth * factor
-    out = image * (1.0 - mask) + blended * mask
-    return jnp.clip(out, 0.0, 1.0)
+    result = image * (1.0 - mask) + smooth * mask
+    return jnp.clip(result + (image - result) * factor, 0.0, 1.0)
 
 
 def equalize(image: jax.Array) -> jax.Array:
-    """Per-image, per-channel histogram equalization over 256 levels
-    (reference: adjust.py equalize). Hard (non-differentiable) LUT."""
+    """Per-image, per-channel histogram equalization over 256 levels —
+    exact torch/PIL integer LUT algorithm (reference: adjust.py equalize,
+    _scale_channel/_build_lut)."""
     image = as_float(image)
 
     def eq_plane(p: jax.Array) -> jax.Array:
-        q = jnp.clip(jnp.floor(p * 255.0), 0, 255).astype(jnp.int32)
-        hist = jnp.zeros((256,), jnp.float32).at[q.reshape(-1)].add(1.0)
-        # torch algorithm: step = (sum - last nonzero bin count) // 255
-        nonzero = hist > 0
+        v = jnp.clip(p * 255.0, 0, 255)
+        q = v.astype(jnp.int32)  # truncation, like torch .long()
+        # torch histc over [0, 255] with 256 bins has bin width 255/256 —
+        # a DIFFERENT quantization than the LUT lookup's truncation
+        hist_idx = jnp.clip((v * (256.0 / 255.0)).astype(jnp.int32), 0, 255)
+        hist = jnp.zeros((256,), jnp.int32).at[hist_idx.reshape(-1)].add(1)
         last_nz_val = hist[jnp.argmax(
-            jnp.where(nonzero, jnp.arange(256), -1))]
-        step = jnp.floor((jnp.sum(hist) - last_nz_val) / 255.0)
-        lut = jnp.floor((jnp.cumsum(hist) - hist / 2.0 + step / 2.0)
-                        / jnp.maximum(step, 1.0))
+            jnp.where(hist > 0, jnp.arange(256), -1))]
+        step = (jnp.sum(hist) - last_nz_val) // 255
+        step_safe = jnp.maximum(step, 1)
+        lut = (jnp.cumsum(hist) + step // 2) // step_safe
+        lut = jnp.concatenate([jnp.zeros(1, lut.dtype), lut[:-1]])
         lut = jnp.clip(lut, 0, 255)
-        out = lut[q] / 255.0
-        return jnp.where(step == 0, p, out.astype(p.dtype))
+        out = lut[q].astype(p.dtype) / 255.0
+        return jnp.where(step == 0, p, out)
 
     flat = image.reshape(-1, *image.shape[-2:])
     out = jax.vmap(eq_plane)(flat)

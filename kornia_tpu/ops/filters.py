@@ -206,9 +206,15 @@ def get_diff_kernel2d(dtype=jnp.float32) -> jax.Array:
 
 
 def _sobel_kernel2d_2nd(dtype=jnp.float32) -> jax.Array:
-    gxx = jnp.array([[1.0, -2.0, 1.0]] * 3, dtype=dtype)
+    """5x5 sobel-of-sobel second-order kernels (reference:
+    filters/kernels.py get_sobel_kernel2d_2nd_order)."""
+    smooth = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=dtype)
+    d2 = jnp.array([-1.0, 0.0, 2.0, 0.0, -1.0], dtype=dtype)
+    d1a = jnp.array([-1.0, -2.0, 0.0, 2.0, 1.0], dtype=dtype)
+    d1b = jnp.array([1.0, 2.0, 0.0, -2.0, -1.0], dtype=dtype)
+    gxx = jnp.outer(smooth, d2)
     gyy = gxx.T
-    gxy = jnp.array([[-1.0, 0.0, 1.0], [0.0, 0.0, 0.0], [1.0, 0.0, -1.0]], dtype=dtype)
+    gxy = jnp.outer(d1a, d1b)
     return jnp.stack([gxx, gxy, gyy])
 
 
@@ -234,8 +240,10 @@ def get_motion_kernel2d(kernel_size: int, angle, direction=0.0, dtype=jnp.float3
     ) / (k - 1)
     kern = jnp.zeros((angle.shape[0], k, k), dtype=dtype)
     kern = kern.at[:, k // 2, :].set(ramp)
-    # rotate by angle via inverse-mapped bilinear sampling around kernel center
-    theta = jnp.deg2rad(angle)
+    # rotate by angle via inverse-mapped bilinear sampling around kernel
+    # center; positive angle rotates CCW in image coords (y down) to match
+    # the reference's warp_affine-based rotation
+    theta = -jnp.deg2rad(angle)
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     ys, xs = jnp.meshgrid(jnp.arange(k, dtype=dtype), jnp.arange(k, dtype=dtype), indexing="ij")
     c = (k - 1) / 2.0
@@ -440,10 +448,12 @@ def gaussian_blur2d(x: jax.Array, kernel_size, sigma,
     return filter2d(x, get_gaussian_kernel2d((ky, kx), (sy, sx)), border_type)
 
 
-def median_blur(x: jax.Array, kernel_size, border_type: str = "reflect") -> jax.Array:
-    """Median filter via an odd-even transposition sorting network over the
-    kH*kW window taps — branch-free, fully vectorized on the VPU (the
-    reference unfolds + topk; a sorting network fuses better under XLA)."""
+def median_blur(x: jax.Array, kernel_size,
+                border_type: str = "constant") -> jax.Array:
+    """Median filter via a full sort over the kH*kW window taps —
+    branch-free, fully vectorized on the VPU (the reference unfolds +
+    median, filters/median.py — zero padding, lower-middle median for
+    even windows, both matched here)."""
     x = as_float(x)
     ky, kx = _pair(kernel_size)
     xp = _pad2d(x, (ky // 2, (ky - 1) // 2, kx // 2, (kx - 1) // 2), border_type)
@@ -455,9 +465,8 @@ def median_blur(x: jax.Array, kernel_size, border_type: str = "reflect") -> jax.
     v = jnp.stack(taps, axis=0)  # (K, B, C, H, W)
     v = jnp.sort(v, axis=0)
     n = ky * kx
-    if n % 2 == 1:
-        return v[n // 2]
-    return 0.5 * (v[n // 2 - 1] + v[n // 2])
+    # torch .median picks the lower of the two middles for even n
+    return v[(n - 1) // 2]
 
 
 def motion_blur(x: jax.Array, kernel_size: int, angle, direction=0.0,
@@ -589,9 +598,10 @@ def spatial_gradient(x: jax.Array, mode: str = "sobel", order: int = 1,
     if normalized:
         kern = normalize_kernel2d(kern)
     B, C, H, W = x.shape
-    nk = kern.shape[0]
-    xp = _pad2d(x.reshape(B * C, 1, H, W), (1, 1, 1, 1), "replicate")
-    w = kern[:, None]  # (nk, 1, 3, 3)
+    nk, kh, kw = kern.shape
+    xp = _pad2d(x.reshape(B * C, 1, H, W),
+                (kh // 2, kh // 2, kw // 2, kw // 2), "replicate")
+    w = kern[:, None]  # (nk, 1, kh, kw)
     out = lax.conv_general_dilated(
         xp, w, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
     )

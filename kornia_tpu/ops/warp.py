@@ -301,6 +301,8 @@ def warp_perspective(
     image = as_float(image)
     check_shape(image, ["B", "C", "H", "W"], "image")
     check_shape(M, ["B", "3", "3"], "M")
+    if M.shape[0] == 1 and image.shape[0] > 1:
+        M = jnp.broadcast_to(M, (image.shape[0], 3, 3))
     h_src, w_src = image.shape[-2:]
     M_norm = normalize_homography(M.astype(image.dtype), (h_src, w_src), dsize)
     M_inv = inverse_3x3(M_norm)
@@ -389,21 +391,24 @@ def get_perspective_transform(src: jax.Array, dst: jax.Array) -> jax.Array:
 def get_rotation_matrix2d(center: jax.Array, angle: jax.Array,
                           scale: jax.Array) -> jax.Array:
     """(B, 2, 3) rotation-with-center matrix, angle in degrees CCW
-    (reference: imgwarp.py:490). scale: (B, 2)."""
+    (reference: imgwarp.py:490). scale (B, 2) = (sx, sy):
+    A = R(θ) · diag(sx, sy), t = c − A·c (exact reference composition)."""
     center = as_float(center)
     angle = as_float(angle)
     scale = as_float(scale)
     rad = jnp.deg2rad(angle)
-    cos = jnp.cos(rad) * scale[..., 0]
-    sin = jnp.sin(rad) * scale[..., 1]
+    c = jnp.cos(rad)
+    s = jnp.sin(rad)
+    sx, sy = scale[..., 0], scale[..., 1]
+    a00 = c * sx
+    a01 = s * sy
+    a10 = -s * sx
+    a11 = c * sy
     cx, cy = center[..., 0], center[..., 1]
-    a = cos
-    b = sin
-    tx = (1.0 - cos) * cx - sin * cy
-    ty = sin * cx + (1.0 - cos) * cy
-    row0 = jnp.stack([a, b, tx + 0.0], axis=-1)
-    row1 = jnp.stack([-b, a, ty + 0.0], axis=-1)
-    # classic OpenCV convention: [[c, s, (1-c)cx - s*cy], [-s, c, s*cx + (1-c)cy]]
+    tx = cx - (a00 * cx + a01 * cy)
+    ty = cy - (a10 * cx + a11 * cy)
+    row0 = jnp.stack([a00, a01, tx], axis=-1)
+    row1 = jnp.stack([a10, a11, ty], axis=-1)
     return jnp.stack([row0, row1], axis=-2)
 
 

@@ -53,6 +53,42 @@ def match_pair(img0: jax.Array, img1: jax.Array,
     return matcher({"image0": img0, "image1": img1})
 
 
+# whole-pipeline jit cache: (shape, num_features, ransac cfg) → compiled fn.
+# One compiled executable per configuration removes the per-op dispatch
+# latency that dominates wall time through the remote-TPU tunnel.
+_TV_CACHE = {}
+
+
+def _two_view_fn(shape, num_features, ransac_batch, ransac_iters,
+                 matcher_th):
+    cache_key = (shape, num_features, ransac_batch, ransac_iters, matcher_th)
+    if cache_key in _TV_CACHE:
+        return _TV_CACHE[cache_key]
+    feat = SIFTFeature(num_features=num_features)
+    matcher = LocalFeatureMatcher(feat, DescriptorMatcher("smnn", matcher_th))
+
+    @jax.jit
+    def fn(img0, img1, K, rkey, inl_th):
+        out = matcher({"image0": img0, "image1": img1})
+        kp0 = out["keypoints0"][0]
+        kp1 = out["keypoints1"][0]
+        valid = out["valid"][0]
+        x0 = normalize_points_with_intrinsics(kp0, K)
+        x1 = normalize_points_with_intrinsics(kp1, K)
+        res = ransac(x0, x1, rkey, "essential", inl_th=inl_th,
+                     batch_size=ransac_batch, max_iterations=ransac_iters,
+                     mask=valid)
+        R, t, _ = motion_from_essential_choose_solution(
+            res.model[None], jnp.eye(3)[None], jnp.eye(3)[None],
+            x0[None], x1[None], mask=res.inliers[None])
+        return TwoViewResult(
+            R=R[0], t=t[0], E=res.model, inliers=res.inliers,
+            keypoints0=kp0, keypoints1=kp1, num_inliers=res.inlier_count)
+
+    _TV_CACHE[cache_key] = fn
+    return fn
+
+
 def two_view_pose(
     img0: jax.Array,
     img1: jax.Array,
@@ -64,23 +100,29 @@ def two_view_pose(
     inl_th_px: float = 1.5,
     feature: Optional[object] = None,
 ) -> TwoViewResult:
-    """Full relative-pose estimation between two calibrated views."""
+    """Full relative-pose estimation between two calibrated views —
+    compiled end-to-end (detect → describe → match → RANSAC → pose)."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    out = match_pair(img0, img1, num_features, feature=feature)
-    kp0 = out["keypoints0"][0]
-    kp1 = out["keypoints1"][0]
-    valid = out["valid"][0]
-    x0 = normalize_points_with_intrinsics(kp0, K)
-    x1 = normalize_points_with_intrinsics(kp1, K)
+    if feature is not None:
+        # custom feature: un-jitted compositional path
+        out = match_pair(img0, img1, num_features, feature=feature)
+        kp0 = out["keypoints0"][0]
+        kp1 = out["keypoints1"][0]
+        valid = out["valid"][0]
+        x0 = normalize_points_with_intrinsics(kp0, K)
+        x1 = normalize_points_with_intrinsics(kp1, K)
+        f = 0.5 * (K[0, 0] + K[1, 1])
+        res = ransac(x0, x1, key, "essential", inl_th=inl_th_px / f,
+                     batch_size=ransac_batch, max_iterations=ransac_iters,
+                     mask=valid)
+        R, t, _ = motion_from_essential_choose_solution(
+            res.model[None], jnp.eye(3)[None], jnp.eye(3)[None],
+            x0[None], x1[None], mask=res.inliers[None])
+        return TwoViewResult(R=R[0], t=t[0], E=res.model, inliers=res.inliers,
+                             keypoints0=kp0, keypoints1=kp1,
+                             num_inliers=res.inlier_count)
+    fn = _two_view_fn(tuple(img0.shape), num_features, ransac_batch,
+                      ransac_iters, 0.95)
     f = 0.5 * (K[0, 0] + K[1, 1])
-    res = ransac(x0, x1, key, "essential", inl_th=inl_th_px / f,
-                 batch_size=ransac_batch, max_iterations=ransac_iters,
-                 mask=valid)
-    R, t, _ = motion_from_essential_choose_solution(
-        res.model[None], jnp.eye(3)[None], jnp.eye(3)[None],
-        x0[None], x1[None], mask=res.inliers[None])
-    return TwoViewResult(
-        R=R[0], t=t[0], E=res.model, inliers=res.inliers,
-        keypoints0=kp0, keypoints1=kp1, num_inliers=res.inlier_count,
-    )
+    return fn(img0, img1, K, key, inl_th_px / f)

@@ -13,13 +13,17 @@ def img(key):
 
 class TestAdjust:
     def test_brightness(self, img):
-        out = E.adjust_brightness(img, 1.0)
+        # additive semantics (reference convention)
+        out = E.adjust_brightness(img, 0.0)
         np.testing.assert_allclose(out, img, atol=1e-6)
 
     def test_brightness_batched(self, img):
-        out = E.adjust_brightness(img, jnp.array([1.0, 0.5]))
+        out = E.adjust_brightness(img, jnp.array([0.0, 0.2]))
         np.testing.assert_allclose(out[0], img[0], atol=1e-6)
-        np.testing.assert_allclose(out[1], img[1] * 0.5, atol=1e-6)
+        np.testing.assert_allclose(out[1], jnp.clip(img[1] + 0.2, 0, 1),
+                                   atol=1e-6)
+        out_m = E.adjust_brightness_accumulative(img, jnp.array([1.0, 0.5]))
+        np.testing.assert_allclose(out_m[1], img[1] * 0.5, atol=1e-6)
 
     def test_contrast(self, img):
         out = E.adjust_contrast(img, 0.5)
@@ -56,7 +60,8 @@ class TestAdjust:
         np.testing.assert_allclose(out, q, atol=1e-6)
 
     def test_sharpness(self, img):
-        out = E.sharpness(img, 0.0)
+        # factor 1 = original image (reference convention: 0 = blurred)
+        out = E.sharpness(img, 1.0)
         np.testing.assert_allclose(out, img, atol=1e-5)
 
     def test_sigmoid_log(self, img):
