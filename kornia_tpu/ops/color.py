@@ -126,21 +126,19 @@ def rgb_to_hsv(image: jax.Array, eps: float = 1e-8) -> jax.Array:
 
 
 def hsv_to_rgb(image: jax.Array) -> jax.Array:
+    """Branch-free continuous formulation: no floor/select, so hue values
+    exactly on bin boundaries (pure colors) are stable under XLA fusion —
+    the floor-based reference version flips bins on 1-ulp differences."""
     image = as_float(image)
     h, s, v = _split3(image)
-    h = h / (2.0 * jnp.pi)
-    hi = jnp.floor(h * 6.0) % 6
-    f = h * 6.0 - jnp.floor(h * 6.0)
-    p = v * (1.0 - s)
-    q = v * (1.0 - f * s)
-    t = v * (1.0 - (1.0 - f) * s)
-    r = jnp.select([hi == 0, hi == 1, hi == 2, hi == 3, hi == 4, hi == 5],
-                   [v, q, p, p, t, v])
-    g = jnp.select([hi == 0, hi == 1, hi == 2, hi == 3, hi == 4, hi == 5],
-                   [t, v, v, q, p, p])
-    b = jnp.select([hi == 0, hi == 1, hi == 2, hi == 3, hi == 4, hi == 5],
-                   [p, p, t, v, v, q])
-    return jnp.concatenate([r, g, b], axis=-3)
+    h6 = h * (6.0 / (2.0 * jnp.pi))
+
+    def channel(n):
+        k = jnp.mod(n + h6, 6.0)
+        return v - v * s * jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return jnp.concatenate([channel(5.0), channel(3.0), channel(1.0)],
+                           axis=-3)
 
 
 def rgb_to_hls(image: jax.Array, eps: float = 1e-8) -> jax.Array:
