@@ -18,9 +18,32 @@ Layer map (mirrors SURVEY.md §1, all jit/vmap/grad-closed):
 
 __version__ = "0.1.0"
 
-from . import contrib, core, feature, geometry, losses, metrics, ops, parallel, slam
+from . import (
+    augmentation,
+    color,
+    contrib,
+    core,
+    enhance,
+    feature,
+    filters,
+    geometry,
+    image,
+    io,
+    losses,
+    metrics,
+    models,
+    morphology,
+    ops,
+    parallel,
+    sensors,
+    slam,
+    tracking,
+    utils,
+)
 
 __all__ = [
-    "contrib", "core", "feature", "geometry", "losses", "metrics", "ops",
-    "parallel", "slam", "__version__",
+    "augmentation", "color", "contrib", "core", "enhance", "feature",
+    "filters", "geometry", "image", "io", "losses", "metrics", "models",
+    "morphology", "ops", "parallel", "sensors", "slam", "tracking", "utils",
+    "__version__",
 ]
