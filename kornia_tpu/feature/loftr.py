@@ -195,6 +195,48 @@ class LoFTR:
         self._params = self.module.init(self._key, dummy, dummy)
         return self._params
 
+    def _fine_refine(self, f0, f1, kp0, kp1):
+        """Correlation-based subpixel refinement of kp1 (reference:
+        loftr/loftr_module fine matching): the fine descriptor at kp0
+        correlates against a w x w fine-feature window around kp1; the
+        soft-argmax of the correlation is the refined offset."""
+        w = self.cfg.fine_window
+        r = w // 2
+        stride = 2.0  # fine-feature stride
+        B, Hf, Wf, D = f0.shape
+        K = kp0.shape[1]
+
+        def gather_vec(fm, xy):
+            ix = jnp.clip(jnp.round(xy[..., 0] / stride).astype(jnp.int32),
+                          0, Wf - 1)
+            iy = jnp.clip(jnp.round(xy[..., 1] / stride).astype(jnp.int32),
+                          0, Hf - 1)
+            flat = fm.reshape(B, Hf * Wf, D)
+            idx = (iy * Wf + ix)[..., None]
+            return jnp.take_along_axis(flat, jnp.broadcast_to(
+                idx, (B, K, D)), axis=1)  # (B, K, D)
+
+        q = gather_vec(f0, kp0)
+        # window gather around kp1
+        offs = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1),
+                                      jnp.arange(-r, r + 1),
+                                      indexing="ij"), -1).reshape(-1, 2)
+        cx = jnp.round(kp1[..., 0] / stride).astype(jnp.int32)
+        cy = jnp.round(kp1[..., 1] / stride).astype(jnp.int32)
+        wx = jnp.clip(cx[..., None] + offs[None, None, :, 1], 0, Wf - 1)
+        wy = jnp.clip(cy[..., None] + offs[None, None, :, 0], 0, Hf - 1)
+        flat1 = f1.reshape(B, Hf * Wf, D)
+        widx = (wy * Wf + wx).reshape(B, -1)[..., None]
+        win = jnp.take_along_axis(
+            flat1, jnp.broadcast_to(widx, (B, K * w * w, D)), axis=1
+        ).reshape(B, K, w * w, D)
+        corr = jnp.einsum("bkd,bkwd->bkw", q, win) / jnp.sqrt(float(D))
+        p = jax.nn.softmax(corr * 10.0, axis=-1)
+        exp_off = jnp.einsum("bkw,wc->bkc", p, offs.astype(jnp.float32))
+        # offs is (dy, dx); convert to (dx, dy) pixels
+        delta = jnp.stack([exp_off[..., 1], exp_off[..., 0]], -1) * stride
+        return kp1 + delta
+
     def __call__(self, data: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         img0 = data["image0"]
         img1 = data["image1"]
@@ -217,6 +259,8 @@ class LoFTR:
                          (idx0 // Wc).astype(jnp.float32)], -1) * scale + scale / 2
         kp1 = jnp.stack([(idx1 % Wc1).astype(jnp.float32),
                          (idx1 // Wc1).astype(jnp.float32)], -1) * scale + scale / 2
+        f0, f1 = fines
+        kp1 = self._fine_refine(f0, f1, kp0, kp1)
         valid = vals > 0.0
         return {
             "keypoints0": kp0,
