@@ -23,6 +23,7 @@ from .detector import ScaleSpaceDetector, detect_features_single_scale
 from .hardnet import HardNet
 from .integrated import (
     GFTTAffNetHardNet,
+    GFTTSIFTFeature,
     LAFDescriptor,
     LocalFeature,
     LocalFeatureMatcher,

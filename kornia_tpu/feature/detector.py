@@ -87,14 +87,22 @@ class ScaleSpaceDetector:
         all_scale = []
         for oct_idx, (stack, sig, dist) in enumerate(zip(octaves, sigmas, dists)):
             Bo, L, C, h, w = stack.shape
-            # response on every level at once (fold L into batch);
-            # scale-normalized derivatives (sigma in octave-local pixels)
-            # keep extrema comparable across levels — without this the 3D
-            # maxima collapse onto the sharpest level
-            flat = stack.reshape(B * L, C, h, w)
-            sig_local = (sig / dist).reshape(B * L, 1, 1, 1)
-            resp = self.resp(flat, sigmas=sig_local)
-            resp = resp.reshape(B, L, C, h, w)[:, :, 0]  # (B, L, h, w)
+            if self.resp == "dog":
+                # true difference-of-gaussians between adjacent levels
+                # (reference: responses.py dog_response) — pad the last
+                # level so the stack keeps L entries
+                from .responses import dog_response
+                d = dog_response(stack)  # (B, L-1, C, h, w)
+                resp = jnp.concatenate([d, d[:, -1:]], axis=1)[:, :, 0]
+            else:
+                # response on every level at once (fold L into batch);
+                # scale-normalized scores (sigma in octave-local pixels)
+                # keep extrema comparable across levels — without this the
+                # 3D maxima collapse onto the sharpest level
+                flat = stack.reshape(B * L, C, h, w)
+                sig_local = (sig / dist).reshape(B * L)
+                resp = self.resp(flat, sigmas=sig_local)
+                resp = resp.reshape(B, L, C, h, w)[:, :, 0]  # (B, L, h, w)
             # 3D quadratic localization over (level, y, x)
             vol = resp[:, None]  # (B, 1, L, h, w)
             coords, refined = conv_quad_interp3d(

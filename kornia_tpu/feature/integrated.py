@@ -79,7 +79,7 @@ class SIFTFeature(LocalFeature):
         from ..ops.pyramid import ScalePyramid
         detector = ScaleSpaceDetector(
             num_features,
-            resp=_blob_dog_resp,
+            resp="dog",  # true adjacent-level difference of gaussians
             scale_pyr=ScalePyramid(3, 1.6, 32, double_image=double_image),
             nms_size=3,
             minima_are_also_good=True,
@@ -98,6 +98,21 @@ def _blob_dog_resp(x: jax.Array, sigmas=None) -> jax.Array:
     if sigmas is not None:
         out = out * (sigmas * sigmas)
     return out
+
+
+class GFTTSIFTFeature(LocalFeature):
+    """GFTT corners + RootSIFT descriptors — the dense-corner front end
+    preferred for odometry (analogue of the reference's
+    GFTTAffNetHardNet preset with a deterministic descriptor)."""
+
+    def __init__(self, num_features: int = 500, rootsift: bool = True):
+        from ..ops.pyramid import ScalePyramid
+        detector = ScaleSpaceDetector(
+            num_features, resp=gftt_response,
+            scale_pyr=ScalePyramid(3, 1.6, 32, double_image=False),
+            mr_size=6.0)
+        desc = SIFTDescriptor(patch_size=41, rootsift=rootsift)
+        super().__init__(detector, LAFDescriptor(desc, 41), LAFOrienter(19))
 
 
 class GFTTAffNetHardNet(LocalFeature):

@@ -462,6 +462,89 @@ def motion_from_essential(E: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return Rs, ts
 
 
+def decompose_homography_matrix(H: jax.Array
+                                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Decompose a CALIBRATED homography (normalized coords,
+    H = R + t nᵀ / d) into 4 (R, t, n) candidates — Faugeras SVD method.
+    (New vs the reference — kornia has no homography decomposition; needed
+    for planar-scene odometry where the essential matrix degenerates.)
+
+    H: (B, 3, 3) → (R (B, 4, 3, 3), t (B, 4, 3, 1), n (B, 4, 3, 1)).
+    """
+    U, D, Vt = jnp.linalg.svd(H)
+    d1, d2, d3 = D[..., 0], D[..., 1], D[..., 2]
+    # normalize so the middle singular value is 1
+    Hn_scale = d2[..., None, None]
+    s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    d1 = d1 / d2
+    d3 = d3 / d2
+    denom = jnp.maximum(d1 - d3, 1e-9)
+    x1 = jnp.sqrt(jnp.maximum((d1 * d1 - 1.0) / jnp.maximum(
+        d1 * d1 - d3 * d3, 1e-12), 0.0))
+    x3 = jnp.sqrt(jnp.maximum((1.0 - d3 * d3) / jnp.maximum(
+        d1 * d1 - d3 * d3, 1e-12), 0.0))
+    sin_t = jnp.sqrt(jnp.maximum(
+        (d1 * d1 - 1.0) * (1.0 - d3 * d3), 0.0)) / jnp.maximum(
+        (d1 + d3), 1e-9)
+    cos_t = (1.0 + d1 * d3) / jnp.maximum(d1 + d3, 1e-9)
+    Rs, ts, ns = [], [], []
+    V = jnp.swapaxes(Vt, -1, -2)
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            st = e1 * e3 * sin_t
+            Rp = jnp.zeros_like(H)
+            Rp = Rp.at[..., 0, 0].set(cos_t).at[..., 0, 2].set(-st)
+            Rp = Rp.at[..., 1, 1].set(1.0)
+            Rp = Rp.at[..., 2, 0].set(st).at[..., 2, 2].set(cos_t)
+            tp = jnp.stack([e1 * x1, jnp.zeros_like(x1), -e3 * x3],
+                           axis=-1)[..., None] * (d1 - d3)[..., None, None]
+            np_ = jnp.stack([e1 * x1, jnp.zeros_like(x1), e3 * x3],
+                            axis=-1)[..., None]
+            R = s[..., None, None] * U @ Rp @ Vt
+            t = U @ tp
+            n = V @ np_
+            # orient the plane normal toward the camera (n_z > 0)
+            flip = jnp.sign(n[..., 2, 0] + 1e-12)[..., None, None]
+            n = n * flip
+            t = t * flip
+            Rs.append(R)
+            ts.append(t)
+            ns.append(n)
+    return (jnp.stack(Rs, axis=-3 - 0).reshape(*H.shape[:-2], 4, 3, 3),
+            jnp.stack(ts, axis=-3).reshape(*H.shape[:-2], 4, 3, 1),
+            jnp.stack(ns, axis=-3).reshape(*H.shape[:-2], 4, 3, 1))
+
+
+def motion_from_homography_choose_solution(
+    H: jax.Array, x1: jax.Array, x2: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pick the cheirality-consistent (R, t, n) from the 4 homography
+    decompositions by triangulated in-front counts. Coordinates are
+    normalized (calibrated)."""
+    Rs, ts, ns = decompose_homography_matrix(H)
+    B = H.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=H.dtype), (B, 3, 3))
+    zero = jnp.zeros((B, 3, 1), H.dtype)
+    P1 = jnp.concatenate([eye, zero], axis=-1)
+    counts = []
+    for i in range(4):
+        P2 = jnp.concatenate([Rs[:, i], ts[:, i]], axis=-1)
+        X = triangulate_points(P1, P2, x1, x2)
+        d1_ = X[..., 2]
+        X2 = jnp.einsum("bij,bnj->bni", Rs[:, i], X) + ts[:, i][..., 0][:, None]
+        ok = (d1_ > 0) & (X2[..., 2] > 0)
+        if mask is not None:
+            ok = ok & mask
+        counts.append(jnp.sum(ok, axis=-1))
+    counts = jnp.stack(counts, axis=-1)
+    best = jnp.argmax(counts, axis=-1)
+    Rb = jnp.take_along_axis(Rs, best[:, None, None, None], axis=1)[:, 0]
+    tb = jnp.take_along_axis(ts, best[:, None, None, None], axis=1)[:, 0]
+    nb = jnp.take_along_axis(ns, best[:, None, None, None], axis=1)[:, 0]
+    return Rb, tb, nb
+
+
 def motion_from_essential_choose_solution(
     E: jax.Array, K1: jax.Array, K2: jax.Array,
     x1: jax.Array, x2: jax.Array, mask: Optional[jax.Array] = None,

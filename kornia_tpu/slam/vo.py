@@ -17,11 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..feature.integrated import LocalFeatureMatcher, SIFTFeature
+from ..feature.integrated import GFTTSIFTFeature, LocalFeatureMatcher, SIFTFeature
 from ..feature.matching import DescriptorMatcher
 from ..geometry.conversions import normalize_points_with_intrinsics
 from ..geometry.epipolar import (
     motion_from_essential_choose_solution,
+    motion_from_homography_choose_solution,
     projection_from_KRt,
     triangulate_points,
 )
@@ -52,7 +53,9 @@ class VisualOdometry:
         self.ransac_iters = ransac_iters
         self.ransac_batch = ransac_batch
         self.inl_th_px = inl_th_px
-        self.feature = SIFTFeature(num_features=num_features)
+        # corners (GFTT) give denser, better-distributed tracks than DoG
+        # blobs for frame-to-frame odometry
+        self.feature = GFTTSIFTFeature(num_features=num_features)
         self.matcher = LocalFeatureMatcher(
             self.feature, DescriptorMatcher("smnn", 0.95))
 
@@ -64,13 +67,30 @@ class VisualOdometry:
         x0 = normalize_points_with_intrinsics(kp0, self.K)
         x1 = normalize_points_with_intrinsics(kp1, self.K)
         f = 0.5 * (self.K[0, 0] + self.K[1, 1])
-        res = ransac(x0, x1, key, "essential", inl_th=self.inl_th_px / f,
-                     batch_size=self.ransac_batch,
-                     max_iterations=self.ransac_iters, mask=valid)
-        R, t, _ = motion_from_essential_choose_solution(
-            res.model[None], jnp.eye(3)[None], jnp.eye(3)[None],
-            x0[None], x1[None], mask=res.inliers[None])
-        return R[0], t[0], x0, x1, res.inliers, int(res.inlier_count)
+        k_e, k_h = jax.random.split(key)
+        res_e = ransac(x0, x1, k_e, "essential", inl_th=self.inl_th_px / f,
+                       batch_size=self.ransac_batch,
+                       max_iterations=self.ransac_iters, mask=valid)
+        res_h = ransac(x0, x1, k_h, "homography", inl_th=self.inl_th_px / f,
+                       batch_size=self.ransac_batch,
+                       max_iterations=self.ransac_iters, mask=valid)
+        # model selection: a (near-)planar scene or pure rotation makes the
+        # essential matrix degenerate while the homography explains the
+        # data — decompose H instead (ORB-SLAM-style H/E selection)
+        use_h = int(res_h.inlier_count) > 0.85 * max(int(res_e.inlier_count), 1)
+        if use_h:
+            R, t, _ = motion_from_homography_choose_solution(
+                res_h.model[None], x0[None], x1[None],
+                mask=res_h.inliers[None])
+            inliers = res_h.inliers
+            n_inl = int(res_h.inlier_count)
+        else:
+            R, t, _ = motion_from_essential_choose_solution(
+                res_e.model[None], jnp.eye(3)[None], jnp.eye(3)[None],
+                x0[None], x1[None], mask=res_e.inliers[None])
+            inliers = res_e.inliers
+            n_inl = int(res_e.inlier_count)
+        return R[0], t[0], x0, x1, inliers, n_inl
 
     def run(self, frames: List[jax.Array], key: Optional[jax.Array] = None
             ) -> VOResult:

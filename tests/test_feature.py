@@ -228,7 +228,9 @@ class TestIntegrated:
         img2 = warp_perspective(img, jnp.eye(3).at[0, 2].set(5.0)[None], (96, 96))
         out = matcher({"image0": img, "image1": img2})
         vm = out["valid"][0]
-        assert int(vm.sum()) >= 20
+        # true DoG finds modest blob counts on blurred noise (the
+        # Laplacian approximation found ~3x more but less selectively)
+        assert int(vm.sum()) >= 8
         kp0 = out["keypoints0"][0][vm]
         kp1 = out["keypoints1"][0][vm]
         good = jnp.abs(kp1 - kp0 - jnp.array([5.0, 0.0])).max(-1) < 2.0
