@@ -59,38 +59,52 @@ class VisualOdometry:
         self.matcher = LocalFeatureMatcher(
             self.feature, DescriptorMatcher("smnn", 0.95))
 
-    def _pair(self, img0, img1, key):
-        out = self.matcher({"image0": img0, "image1": img1})
-        kp0 = out["keypoints0"][0]
-        kp1 = out["keypoints1"][0]
-        valid = out["valid"][0]
-        x0 = normalize_points_with_intrinsics(kp0, self.K)
-        x1 = normalize_points_with_intrinsics(kp1, self.K)
-        f = 0.5 * (self.K[0, 0] + self.K[1, 1])
-        k_e, k_h = jax.random.split(key)
-        res_e = ransac(x0, x1, k_e, "essential", inl_th=self.inl_th_px / f,
-                       batch_size=self.ransac_batch,
-                       max_iterations=self.ransac_iters, mask=valid)
-        res_h = ransac(x0, x1, k_h, "homography", inl_th=self.inl_th_px / f,
-                       batch_size=self.ransac_batch,
-                       max_iterations=self.ransac_iters, mask=valid)
-        # model selection: a (near-)planar scene or pure rotation makes the
-        # essential matrix degenerate while the homography explains the
-        # data — decompose H instead (ORB-SLAM-style H/E selection)
-        use_h = int(res_h.inlier_count) > 0.85 * max(int(res_e.inlier_count), 1)
-        if use_h:
-            R, t, _ = motion_from_homography_choose_solution(
-                res_h.model[None], x0[None], x1[None],
-                mask=res_h.inliers[None])
-            inliers = res_h.inliers
-            n_inl = int(res_h.inlier_count)
-        else:
-            R, t, _ = motion_from_essential_choose_solution(
+    def _pair_fn(self):
+        """Whole-pair jitted computation (cached): detect + describe +
+        match + E and H RANSAC + decomposition + ORB-SLAM-style model
+        selection as a where-select (no host round trips)."""
+        if getattr(self, "_compiled_pair", None) is not None:
+            return self._compiled_pair
+        matcher = self.matcher
+        rb, ri = self.ransac_batch, self.ransac_iters
+
+        @jax.jit
+        def fn(img0, img1, K, key, inl_th):
+            out = matcher({"image0": img0, "image1": img1})
+            kp0 = out["keypoints0"][0]
+            kp1 = out["keypoints1"][0]
+            valid = out["valid"][0]
+            x0 = normalize_points_with_intrinsics(kp0, K)
+            x1 = normalize_points_with_intrinsics(kp1, K)
+            k_e, k_h = jax.random.split(key)
+            res_e = ransac(x0, x1, k_e, "essential", inl_th=inl_th,
+                           batch_size=rb, max_iterations=ri, mask=valid)
+            res_h = ransac(x0, x1, k_h, "homography", inl_th=inl_th,
+                           batch_size=rb, max_iterations=ri, mask=valid)
+            R_e, t_e, _ = motion_from_essential_choose_solution(
                 res_e.model[None], jnp.eye(3)[None], jnp.eye(3)[None],
                 x0[None], x1[None], mask=res_e.inliers[None])
-            inliers = res_e.inliers
-            n_inl = int(res_e.inlier_count)
-        return R[0], t[0], x0, x1, inliers, n_inl
+            R_h, t_h, _ = motion_from_homography_choose_solution(
+                res_h.model[None], x0[None], x1[None],
+                mask=res_h.inliers[None])
+            # planar/pure-rotation degeneracy: prefer H when it explains
+            # nearly as many correspondences as E
+            use_h = res_h.inlier_count > 0.85 * jnp.maximum(
+                res_e.inlier_count, 1)
+            R = jnp.where(use_h, R_h[0], R_e[0])
+            t = jnp.where(use_h, t_h[0], t_e[0])
+            inliers = jnp.where(use_h, res_h.inliers, res_e.inliers)
+            n_inl = jnp.where(use_h, res_h.inlier_count, res_e.inlier_count)
+            return R, t, x0, x1, inliers, n_inl
+
+        self._compiled_pair = fn
+        return fn
+
+    def _pair(self, img0, img1, key):
+        f = 0.5 * (self.K[0, 0] + self.K[1, 1])
+        R, t, x0, x1, inliers, n_inl = self._pair_fn()(
+            img0, img1, self.K, key, self.inl_th_px / f)
+        return R, t, x0, x1, inliers, int(n_inl)
 
     def run(self, frames: List[jax.Array], key: Optional[jax.Array] = None
             ) -> VOResult:
