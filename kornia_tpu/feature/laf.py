@@ -269,13 +269,15 @@ def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
     # per-keypoint level: scale/PS halving
     lvl = jnp.floor(jnp.log2(jnp.maximum(2.0 * scale / PS, 1e-6)))
     lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)  # (B, N)
-    patches_per_level = []
+    # per-level extraction + where-select: a stacked take_along_axis over
+    # (Lv, B, N, C, PS, PS) lowers to a catastrophic scalar gather on TPU
+    # (~100x slower and minutes of compile); elementwise selects are free
+    out = None
     for li, limg in enumerate(levels):
         sc = 0.5**li
         laf_l = jnp.concatenate(
             [laf[..., :2, :2] * sc, laf[..., :2, 2:] * sc], axis=-1)
-        patches_per_level.append(extract_patches_simple(limg, laf_l, PS))
-    stack = jnp.stack(patches_per_level, axis=0)  # (Lv, B, N, C, PS, PS)
-    sel = lvl[None, ..., None, None, None]  # (1, B, N, 1, 1, 1)
-    idx = jnp.broadcast_to(sel, (1, B, N, C, PS, PS))
-    return jnp.take_along_axis(stack, idx, axis=0)[0]
+        patches = extract_patches_simple(limg, laf_l, PS)
+        m = (lvl == li)[..., None, None, None]
+        out = patches if out is None else jnp.where(m, patches, out)
+    return out
