@@ -271,7 +271,8 @@ class KeyNet:
             h = jax.nn.relu(_bn(p, f"c{i}", _conv(p, f"c{i}", h, 1, 2)))
         out = _conv(p, "out", h, 1, 2)
         if sigmas is not None:
-            out = out * (sigmas * sigmas)
+            s = jnp.reshape(sigmas, (-1, 1, 1, 1))
+            out = out * (s * s)
         return jax.nn.relu(out)
 
 
