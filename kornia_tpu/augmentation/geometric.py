@@ -23,6 +23,9 @@ from ..ops.warp import (
 from .base import GeometricAugmentationBase2D
 
 __all__ = [
+    "Resize",
+    "LongestMaxSize",
+    "SmallestMaxSize",
     "RandomHorizontalFlip",
     "RandomVerticalFlip",
     "RandomRotation",
@@ -42,6 +45,51 @@ __all__ = [
 
 def _eye(B):
     return jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+
+
+class Resize(GeometricAugmentationBase2D):
+    """Deterministic resize (reference: _2d/geometric/resize.py)."""
+
+    def __init__(self, size, interpolation: str = "bilinear",
+                 antialias: bool = False, **kw):
+        super().__init__(p=1.0, **kw)
+        self.size = (size, size) if isinstance(size, int) else size
+        self.interpolation = interpolation
+        self.antialias = antialias
+
+    def __call__(self, x, key=None, params=None):
+        from ..core.dtype import as_float
+        from ..ops.warp import resize
+        return resize(as_float(x), self.size, self.interpolation,
+                      antialias=self.antialias)
+
+
+class LongestMaxSize(GeometricAugmentationBase2D):
+    """Resize so the longest side equals max_size
+    (reference: _2d/geometric/resize.py LongestMaxSize)."""
+
+    def __init__(self, max_size: int, **kw):
+        super().__init__(p=1.0, **kw)
+        self.max_size = max_size
+
+    def __call__(self, x, key=None, params=None):
+        from ..core.dtype import as_float
+        from ..ops.warp import resize
+        return resize(as_float(x), self.max_size, side="long")
+
+
+class SmallestMaxSize(GeometricAugmentationBase2D):
+    """Resize so the shortest side equals max_size
+    (reference: _2d/geometric/resize.py SmallestMaxSize)."""
+
+    def __init__(self, max_size: int, **kw):
+        super().__init__(p=1.0, **kw)
+        self.max_size = max_size
+
+    def __call__(self, x, key=None, params=None):
+        from ..core.dtype import as_float
+        from ..ops.warp import resize
+        return resize(as_float(x), self.max_size, side="short")
 
 
 class RandomHorizontalFlip(GeometricAugmentationBase2D):

@@ -120,11 +120,15 @@ def ransac(
     confidence: float = 0.99,
     polish_iters: int = 3,
     mask: Optional[jax.Array] = None,
+    scores: Optional[jax.Array] = None,
 ) -> RansacResult:
     """Single-pair robust estimation; vmap over pairs for batching.
 
     points: (N, 2). `mask` (N,) marks valid correspondences (padded
     entries False) — supports the framework's padded-K pipelines.
+    `scores` (N,) enables PROSAC-style progressive sampling (reference:
+    ransac.py PROSAC option): early rounds draw from the highest-quality
+    correspondences, later rounds flatten toward uniform.
     """
     points1 = as_float(points1)
     points2 = as_float(points2)
@@ -139,6 +143,13 @@ def ransac(
     T, S = max_iterations, batch_size
     # Gumbel top-k trick over masked logits → m distinct valid indices
     logits = jnp.where(mask, 0.0, -jnp.inf)
+    if scores is not None:
+        # PROSAC schedule: per-round weight beta_r decays linearly so
+        # round 0 is sharply score-biased and the last round is uniform
+        z = (scores - jnp.mean(scores)) / (jnp.std(scores) + 1e-6)
+        beta = jnp.linspace(3.0, 0.0, T)[:, None, None]  # (T, 1, 1)
+        logits = logits[None, None, :] + beta * z[None, None, :]
+        logits = jnp.broadcast_to(logits, (T, S, N)).reshape(T * S, N)
     g = jax.random.gumbel(key, (T * S, N)) + logits
     _, idx = jax.lax.top_k(g, m)  # (T*S, m)
     p1s = points1[idx]  # (T*S, m, 2)
