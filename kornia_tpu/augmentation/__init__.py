@@ -3,13 +3,25 @@ from .base import (
     GeometricAugmentationBase2D,
     IntensityAugmentationBase2D,
 )
-from .container import AugmentationSequential, DataKey, ImageSequential
+from .container import (
+    AugmentationSequential,
+    DataKey,
+    ImageSequential,
+    ManyToManyAugmentationDispather,
+    ManyToOneAugmentationDispather,
+)
 from .geometric import *  # noqa: F401,F403
 from .intensity import *  # noqa: F401,F403
 from .auto import AutoAugment, RandAugment, TrivialAugment
 from .presets import AdaptiveDiscriminatorAugmentation
 from .video import PatchSequential, VideoSequential
-from .mix import RandomCutMixV2, RandomJigsaw, RandomMixUpV2, RandomMosaic
+from .mix import (
+    RandomCutMixV2,
+    RandomJigsaw,
+    RandomMixUpV2,
+    RandomMosaic,
+    RandomTransplantation,
+)
 from .volumetric import (
     CenterCrop3D,
     RandomAffine3D,

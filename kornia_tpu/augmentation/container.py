@@ -20,7 +20,8 @@ from ..core.linalg import inverse_3x3
 from ..geometry.linalg import transform_points
 from .base import AugmentationBase2D, GeometricAugmentationBase2D
 
-__all__ = ["ImageSequential", "AugmentationSequential", "DataKey"]
+__all__ = ["ImageSequential", "AugmentationSequential", "DataKey",
+           "ManyToManyAugmentationDispather", "ManyToOneAugmentationDispather"]
 
 
 class DataKey:
@@ -184,3 +185,39 @@ class AugmentationSequential(ImageSequential):
             else:
                 outs.append(inp)
         return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+class ManyToManyAugmentationDispather:
+    """Dispatch N pipelines to N inputs (reference:
+    container/dispatcher.py ManyToManyAugmentationDispather)."""
+
+    def __init__(self, *augs: AugmentationSequential):
+        self.augs = list(augs)
+
+    def __call__(self, *inputs, key: Optional[jax.Array] = None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, len(self.augs))
+        return tuple(aug(*inp, key=k)
+                     for aug, inp, k in zip(self.augs, inputs, keys))
+
+
+class ManyToOneAugmentationDispather:
+    """Apply one pipeline with SHARED parameters to many inputs
+    (reference: container/dispatcher.py ManyToOneAugmentationDispather)."""
+
+    def __init__(self, *augs: AugmentationSequential):
+        self.augs = list(augs)
+
+    def __call__(self, *inputs, key: Optional[jax.Array] = None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        outs = []
+        for aug, inp in zip(self.augs, inputs):
+            img = inp[0] if isinstance(inp, (tuple, list)) else inp
+            params = aug.generate_parameters(key, img.shape)
+            if isinstance(inp, (tuple, list)):
+                outs.append(aug(*inp, params=params))
+            else:
+                outs.append(aug(inp, params=params))
+        return tuple(outs)

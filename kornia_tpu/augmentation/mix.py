@@ -11,7 +11,8 @@ import jax.numpy as jnp
 from ..core.dtype import as_float
 from .base import AugmentationBase2D
 
-__all__ = ["RandomMixUpV2", "RandomCutMixV2", "RandomMosaic", "RandomJigsaw"]
+__all__ = ["RandomMixUpV2", "RandomCutMixV2", "RandomMosaic", "RandomJigsaw",
+           "RandomTransplantation"]
 
 
 class RandomMixUpV2(AugmentationBase2D):
@@ -127,6 +128,48 @@ class RandomMosaic(AugmentationBase2D):
                         jnp.where((top & ~left)[:, None], b,
                                   jnp.where((~top & left)[:, None], c, d)))
         return jnp.where(params["apply_mask"][:, None, None, None], out, x)
+
+
+class RandomTransplantation(AugmentationBase2D):
+    """Transplant the pixels of a selected segmentation class from a donor
+    (permuted) sample into each image (reference:
+    _2d/mix/transplantation.py:353). Inputs: images + int masks."""
+
+    def __init__(self, excluded_labels=(0,), **kw):
+        super().__init__(**kw)
+        self.excluded_labels = tuple(excluded_labels)
+
+    def sample_params(self, key, batch, shape):
+        k1, k2 = jax.random.split(key)
+        return {"perm": jax.random.permutation(k1, batch),
+                "label_u": jax.random.uniform(k2, (batch,))}
+
+    def __call__(self, images: jax.Array, masks: jax.Array,
+                 key=None, params=None):
+        images = as_float(images)
+        if params is None:
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            params = self.generate_parameters(key, images.shape)
+        perm = params["perm"]
+        donor_img = images[perm]
+        donor_mask = masks[perm]
+        # choose a donor label: the highest present label scaled by u,
+        # skipping excluded (background) labels
+        max_label = jnp.max(donor_mask, axis=(1, 2)) if donor_mask.ndim == 3 \
+            else jnp.max(donor_mask, axis=(1, 2, 3))
+        label = jnp.ceil(params["label_u"] * jnp.maximum(
+            max_label.astype(jnp.float32), 1.0)).astype(masks.dtype)
+        m = donor_mask if donor_mask.ndim == 4 else donor_mask[:, None]
+        sel = (m == label.reshape(-1, 1, 1, 1))
+        gate = params["apply_mask"].reshape(-1, 1, 1, 1)
+        sel = sel & gate
+        out_img = jnp.where(sel, donor_img, images)
+        m_orig = masks if masks.ndim == 4 else masks[:, None]
+        out_mask = jnp.where(sel, m, m_orig)
+        if masks.ndim == 3:
+            out_mask = out_mask[:, 0]
+        return out_img, out_mask
 
 
 class RandomJigsaw(AugmentationBase2D):

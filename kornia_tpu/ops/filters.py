@@ -66,6 +66,7 @@ __all__ = [
     "guided_blur",
     "max_blur_pool2d",
     "blur_pool2d",
+    "edge_aware_blur_pool2d",
     "in_range",
     # gradients / edges
     "spatial_gradient",
@@ -580,6 +581,27 @@ def in_range(x: jax.Array, lower, upper, return_mask: bool = False
     hi = jnp.asarray(upper, x.dtype).reshape(1, -1, 1, 1)
     ok = jnp.all((x >= lo) & (x <= hi), axis=1, keepdims=True)
     return ok if return_mask else ok.astype(x.dtype)
+
+
+def edge_aware_blur_pool2d(x: jax.Array, kernel_size: int = 3,
+                           edge_threshold: float = 1.25,
+                           edge_dilation_kernel_size: int = 3,
+                           epsilon: float = 1e-6) -> jax.Array:
+    """Blur-pool that preserves strong edges (reference:
+    filters/blur_pool.py edge_aware_blur_pool2d): blur everywhere, then
+    restore pixels on (dilated) high-gradient edges."""
+    x = as_float(x)
+    blurred = blur_pool2d(x, kernel_size, stride=1)
+    # detect edges on a log-magnitude gradient
+    g = spatial_gradient(x, "sobel", 1, True)
+    mag = jnp.sqrt(g[:, :, 0] ** 2 + g[:, :, 1] ** 2 + epsilon)
+    edges = jnp.max(jnp.log1p(mag / epsilon), axis=1, keepdims=True)
+    edge_mask = edges > edge_threshold * jnp.log(1.0 / epsilon) / 2.0
+    k = edge_dilation_kernel_size
+    edge_mask = lax.reduce_window(
+        edge_mask.astype(x.dtype), 0.0, lax.max, (1, 1, k, k), (1, 1, 1, 1),
+        "SAME")
+    return x * edge_mask + blurred * (1.0 - edge_mask)
 
 
 # -----------------------------------------------------------------------------

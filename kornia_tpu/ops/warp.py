@@ -44,6 +44,7 @@ __all__ = [
     "warp_perspective",
     "warp_affine",
     "homography_warp",
+    "HomographyWarper",
     "get_perspective_transform",
     "get_rotation_matrix2d",
     "get_shear_matrix2d",
@@ -746,6 +747,44 @@ def warp_image_tps(image: jax.Array, kernel_centers: jax.Array,
 # -----------------------------------------------------------------------------
 # Flips
 # -----------------------------------------------------------------------------
+
+class HomographyWarper:
+    """Cached-grid homography warper (reference:
+    geometry/transform/homography_warper.py:173): precomputes the
+    destination meshgrid once; each call only transforms + samples."""
+
+    def __init__(self, height: int, width: int, mode: str = "bilinear",
+                 padding_mode: str = "zeros",
+                 normalized_coordinates: bool = True):
+        self.height = height
+        self.width = width
+        self.mode = mode
+        self.padding_mode = padding_mode
+        self.normalized_coordinates = normalized_coordinates
+        self.grid = create_meshgrid(height, width, normalized_coordinates)
+        self._warped_grid: Optional[jax.Array] = None
+
+    def precompute_warp_grid(self, src_homo_dst: jax.Array) -> None:
+        self._warped_grid = self.warp_grid(src_homo_dst)
+
+    def warp_grid(self, src_homo_dst: jax.Array) -> jax.Array:
+        B = src_homo_dst.shape[0]
+        pts = jnp.broadcast_to(
+            self.grid.reshape(1, -1, 2), (B, self.height * self.width, 2))
+        warped = transform_points(src_homo_dst, pts)
+        return warped.reshape(B, self.height, self.width, 2)
+
+    def __call__(self, patch_src: jax.Array,
+                 src_homo_dst: Optional[jax.Array] = None) -> jax.Array:
+        if src_homo_dst is not None:
+            grid = self.warp_grid(src_homo_dst)
+        else:
+            assert self._warped_grid is not None, \
+                "call precompute_warp_grid or pass src_homo_dst"
+            grid = self._warped_grid
+        return grid_sample(patch_src, grid, self.mode, self.padding_mode,
+                           align_corners=True)
+
 
 def hflip(image: jax.Array) -> jax.Array:
     return jnp.flip(image, axis=-1)
