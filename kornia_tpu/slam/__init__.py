@@ -1,3 +1,4 @@
 from .ba import BAProblem, BAState, bundle_adjust, reprojection_residuals
+from .sfm import SfmResult, incremental_sfm
 from .posegraph import PoseGraph, optimize_pose_graph
 from .twoview import TwoViewResult, match_pair, two_view_pose
