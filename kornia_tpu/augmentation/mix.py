@@ -12,7 +12,7 @@ from ..core.dtype import as_float
 from .base import AugmentationBase2D
 
 __all__ = ["RandomMixUpV2", "RandomCutMixV2", "RandomMosaic", "RandomJigsaw",
-           "RandomTransplantation"]
+           "RandomTransplantation", "RandomPatchMix"]
 
 
 class RandomMixUpV2(AugmentationBase2D):
@@ -128,6 +128,45 @@ class RandomMosaic(AugmentationBase2D):
                         jnp.where((top & ~left)[:, None], b,
                                   jnp.where((~top & left)[:, None], c, d)))
         return jnp.where(params["apply_mask"][:, None, None, None], out, x)
+
+
+class RandomPatchMix(AugmentationBase2D):
+    """Mix random grid patches between each sample and a permuted donor
+    (reference: _2d/mix/patchmix.py). Returns (images, lam) where lam is
+    the per-sample fraction of own pixels kept."""
+
+    def __init__(self, grid: Tuple[int, int] = (4, 4), mix_prob: float = 0.5,
+                 **kw):
+        super().__init__(**kw)
+        self.grid = grid
+        self.mix_prob = mix_prob
+
+    def sample_params(self, key, batch, shape):
+        gy, gx = self.grid
+        k1, k2 = jax.random.split(key)
+        take_donor = jax.random.bernoulli(k1, self.mix_prob, (batch, gy, gx))
+        perm = jax.random.permutation(k2, batch)
+        return {"take_donor": take_donor, "perm": perm}
+
+    def __call__(self, x, key=None, params=None):
+        x = as_float(x)
+        if params is None:
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            params = self.generate_parameters(key, x.shape)
+        B, C, H, W = x.shape
+        gy, gx = self.grid
+        mask_small = params["take_donor"].astype(x.dtype)  # (B, gy, gx)
+        mask = jnp.repeat(jnp.repeat(mask_small, H // gy, axis=1),
+                          W // gx, axis=2)
+        mask = jnp.pad(mask, [(0, 0), (0, H - (H // gy) * gy),
+                              (0, W - (W // gx) * gx)])
+        gate = params["apply_mask"].astype(x.dtype).reshape(-1, 1, 1)
+        mask = mask * gate
+        donor = x[params["perm"]]
+        out = x * (1 - mask[:, None]) + donor * mask[:, None]
+        lam = 1.0 - jnp.mean(mask, axis=(1, 2))
+        return out, lam
 
 
 class RandomTransplantation(AugmentationBase2D):

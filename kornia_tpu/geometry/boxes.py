@@ -146,3 +146,40 @@ class Keypoints:
     def pad(self, n: int) -> "Keypoints":
         return Keypoints(jnp.pad(self.data, [(0, 0), (0, n), (0, 0)]),
                          jnp.pad(self.valid, [(0, 0), (0, n)]))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class VideoBoxes:
+    """(B, T, N, 4) xyxy boxes over time + validity
+    (reference: boxes.py:837 VideoBoxes)."""
+
+    data: jax.Array
+    valid: jax.Array
+
+    def tree_flatten(self):
+        return (self.data, self.valid), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def from_tensor(cls, boxes: jax.Array) -> "VideoBoxes":
+        boxes = as_float(boxes)
+        return cls(boxes, jnp.ones(boxes.shape[:-1], dtype=bool))
+
+    def to_frame_boxes(self) -> Boxes:
+        """Fold time into the batch dim."""
+        B, T, N, _ = self.data.shape
+        return Boxes(self.data.reshape(B * T, N, 4),
+                     self.valid.reshape(B * T, N))
+
+    def transform_boxes(self, M: jax.Array) -> "VideoBoxes":
+        """Apply per-clip (B, 3, 3) or per-frame (B, T, 3, 3) homographies."""
+        if M.ndim == 3:
+            M = jnp.broadcast_to(M[:, None], (*self.data.shape[:2], 3, 3))
+        B, T, N, _ = self.data.shape
+        flat = transform_bbox(M.reshape(B * T, 3, 3),
+                              self.data.reshape(B * T, N, 4), "xyxy")
+        return VideoBoxes(flat.reshape(B, T, N, 4), self.valid)
