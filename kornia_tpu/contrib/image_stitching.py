@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.dtype import as_float
-from ..feature.integrated import LocalFeatureMatcher, SIFTFeature
+from ..feature.integrated import GFTTSIFTFeature, LocalFeatureMatcher
 from ..feature.matching import DescriptorMatcher
 from ..geometry.ransac import ransac
 from ..ops.warp import warp_perspective
@@ -24,7 +24,7 @@ class ImageStitcher:
     def __init__(self, matcher=None, estimator: str = "ransac",
                  blending_method: str = "naive", num_features: int = 512):
         self.matcher = matcher or LocalFeatureMatcher(
-            SIFTFeature(num_features=num_features),
+            GFTTSIFTFeature(num_features=num_features),
             DescriptorMatcher("smnn", 0.95))
         self.blending_method = blending_method
 

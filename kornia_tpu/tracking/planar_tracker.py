@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.dtype import as_float
-from ..feature.integrated import LocalFeatureMatcher, SIFTFeature
+from ..feature.integrated import GFTTSIFTFeature, LocalFeatureMatcher
 from ..feature.matching import DescriptorMatcher
 from ..geometry.homography import oneway_transfer_error
 from ..geometry.ransac import ransac
@@ -28,8 +28,10 @@ class HomographyTracker:
 
     def __init__(self, num_features: int = 512, inl_th: float = 3.0,
                  min_inliers: int = 15):
+        # GFTT corners: denser and better-distributed than DoG blobs for
+        # planar targets
         self.matcher = LocalFeatureMatcher(
-            SIFTFeature(num_features=num_features),
+            GFTTSIFTFeature(num_features=num_features),
             DescriptorMatcher("smnn", 0.95))
         self.inl_th = inl_th
         self.min_inliers = min_inliers
