@@ -1,4 +1,6 @@
 from . import (
+    bbox,
+    boxes,
     calibration,
     camera,
     conversions,
@@ -6,11 +8,20 @@ from . import (
     epipolar,
     homography,
     liegroup,
+    line,
     linalg,
+    pointcloud,
+    pose,
     ransac,
+    registration,
+    scene,
     solvers,
     subpix,
+    transform,
 )
+from .boxes import Boxes, Keypoints, VideoBoxes
+from .pose import NamedPose
+from .scene import generate_scene
 from .conversions import *  # noqa: F401,F403
 from .homography import *  # noqa: F401,F403
 from .linalg import *  # noqa: F401,F403
