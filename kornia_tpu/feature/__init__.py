@@ -39,7 +39,12 @@ from .matching import (
     match_smnn,
     match_snn,
 )
+from .adalam import adalam_filter
+from .disk import DISK, DISKFeatures
+from .lightglue import LightGlue, LightGlueConfig
+from .loftr import LoFTR, LoFTRConfig
 from .orientation import LAFOrienter, patch_dominant_gradient_orientation
+from .xfeat import XFeat
 from .responses import (
     dog_response,
     dog_response_single,
