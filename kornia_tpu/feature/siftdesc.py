@@ -44,8 +44,9 @@ def sift_describe(
     patches = as_float(patches)
     B, CH, PS, _ = patches.shape
     check(CH == 1, "sift_describe expects grayscale patches")
-    # gaussian weighting of the whole patch
-    gk = get_gaussian_kernel2d((PS, PS), (PS / 3.0, PS / 3.0), patches.dtype)[0]
+    # gaussian weighting of the whole patch (reference sigma = PS/sqrt(2))
+    sig = PS / math.sqrt(2.0)
+    gk = get_gaussian_kernel2d((PS, PS), (sig, sig), patches.dtype)[0]
     grads = spatial_gradient(patches, "diff")
     gx = grads[:, :, 0]
     gy = grads[:, :, 1]
@@ -75,7 +76,9 @@ def sift_describe(
         feature_group_count=num_ang_bins,
     )  # (B, A, nsb, nsb)
     pooled = pooled[:, :, :num_spatial_bins, :num_spatial_bins]
-    desc = pooled.transpose(0, 2, 3, 1).reshape(B, -1)
+    # reference element order: [angular_bin, y, x] (siftdesc.py view(B,-1)
+    # after per-angular-bin concat)
+    desc = pooled.reshape(B, -1)
     # normalize, clip, renormalize (SIFT standard)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), eps)
     desc = jnp.clip(desc, 0.0, clipval)

@@ -472,13 +472,14 @@ class TestFeatureParity:
         patches = rng.random((2, 1, 32, 32)).astype(np.float32)
         ours = SIFTDescriptor(32, rootsift=False)(j(patches))
         ref = kornia.feature.SIFTDescriptor(32, rootsift=False)(t(patches))
-        # descriptor pipelines differ in pooling-window placement; cosine
-        # similarity ~0.86 on random noise (structured patches score
-        # higher) — assert strong agreement, not bit parity
-        o = np.asarray(ours)
-        r = ref.detach().numpy()
-        cos = (o * r).sum(-1)
-        assert cos.min() > 0.8
+        allclose(ours, ref, atol=1e-5)
+
+    def test_sift_descriptor_rootsift(self):
+        from kornia_tpu.feature.siftdesc import SIFTDescriptor
+        patches = rng.random((2, 1, 41, 41)).astype(np.float32)
+        ours = SIFTDescriptor(41, rootsift=True)(j(patches))
+        ref = kornia.feature.SIFTDescriptor(41, rootsift=True)(t(patches))
+        allclose(ours, ref, atol=1e-4)
 
 
 class TestSubpixParity:
