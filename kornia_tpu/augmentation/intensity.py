@@ -8,7 +8,6 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.dtype import as_float
 from ..ops import color as C
 from ..ops import enhance as E
 from ..ops import filters as F

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from ..core.dtype import as_float
 from ..ops.warp3d import center_crop3d, crop3d, get_projective_transform, warp_affine3d
-from .base import AugmentationBase2D, apply_batch_mask
+from .base import AugmentationBase2D
 
 __all__ = [
     "RandomHorizontalFlip3D",

@@ -239,8 +239,7 @@ def extract_patches_simple(img: jax.Array, laf: jax.Array, PS: int = 32,
     img = as_float(img)
     B, N = laf.shape[:2]
     C = img.shape[1]
-    lafp = scale_laf(laf, 0.5) if False else laf
-    grid = generate_patch_grid_from_normalized_laf(img, lafp, PS)
+    grid = generate_patch_grid_from_normalized_laf(img, laf, PS)
     grid_flat = grid.reshape(B, N * PS, PS, 2)
     out = grid_sample(img, grid_flat, "bilinear", "border", True)
     return out.reshape(B, C, N, PS, PS).transpose(0, 2, 1, 3, 4)

@@ -6,7 +6,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.check import check_shape
-from ..core.dtype import as_float
 from ..ops.warp import transform_points  # canonical impl; re-exported here
 
 __all__ = [

@@ -7,7 +7,6 @@ import dataclasses
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from .liegroup import Se3, So3
 

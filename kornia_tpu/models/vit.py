@@ -12,7 +12,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import MLP, TransformerEncoderLayer, nchw_to_nhwc
+from .common import TransformerEncoderLayer, nchw_to_nhwc
 
 __all__ = ["VisionTransformer", "ViTConfig"]
 

@@ -239,7 +239,8 @@ def equalize3d(volume: jax.Array) -> jax.Array:
     """(B, C, D, H, W) equalization over the volume (reference: adjust.py)."""
     v = as_float(volume)
     B, C, D, H, W = v.shape
-    out = equalize(v.reshape(B, C * D, H, W) if False else v.reshape(B * C, 1, D * H, W))
+    # equalize per (batch, channel) over the whole volume
+    out = equalize(v.reshape(B * C, 1, D * H, W))
     return out.reshape(B, C, D, H, W)
 
 

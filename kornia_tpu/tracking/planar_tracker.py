@@ -9,7 +9,6 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from ..core.dtype import as_float
 from ..feature.integrated import GFTTSIFTFeature, LocalFeatureMatcher

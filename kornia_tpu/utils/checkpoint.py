@@ -8,7 +8,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
 
 __all__ = ["save_checkpoint", "load_checkpoint"]
 
