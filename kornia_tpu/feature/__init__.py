@@ -46,6 +46,7 @@ from .loftr import LoFTR, LoFTRConfig
 from .orientation import LAFOrienter, patch_dominant_gradient_orientation
 from .xfeat import XFeat
 from .sold2 import SOLD2, SOLD2_detector, SOLD2Net
+from .dedode import DeDoDe, DeDoDeDescriptor, DeDoDeDetector
 from .responses import (
     dog_response,
     dog_response_single,

@@ -1,0 +1,218 @@
+"""DeDoDe-style detached detector / descriptor, TPU-native.
+
+Reference behavior: kornia/feature/dedode/dedode.py:48 (DeDoDe),
+dedode_models.py (detector L / descriptor B wiring), decoder.py
+(ConvRefiner/Decoder coarse-to-fine), encoder.py (VGG19 pyramid),
+utils.py:24 (sample_keypoints with separable-Gaussian coverage reweighting).
+
+TPU-first redesign (NOT a port):
+- One flax module per branch (VGG-style pyramid encoder + coarse-to-fine
+  refiner decoder), NHWC internally, bf16-friendly convs — the reference's
+  torch AMP autocast blocks are unnecessary under XLA.
+- `sample_keypoints`'s dynamic top-k over the softmax scoremap becomes a
+  fixed-N `lax.top_k` with the same separable-Gaussian local-density
+  coverage reweighting (a conv, exactly as the reference computes it).
+- Keypoint descriptors are one batched bilinear `grid_sample` of the dense
+  descriptor map — no host round trip.
+The DINOv2-backed `G` descriptor needs externally trained ViT weights
+(no egress) and is out of scope; the conv `B` descriptor is implemented.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.check import check
+from ..core.dtype import as_float
+from ..ops.warp import grid_sample
+
+__all__ = ["DeDoDe", "DeDoDeDetector", "DeDoDeDescriptor", "sample_keypoints"]
+
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class _VGGBlock(nn.Module):
+    channels: int
+    n_convs: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(self.n_convs):
+            x = nn.relu(nn.Conv(self.channels, (3, 3))(x))
+        return x
+
+
+class _VGGEncoder(nn.Module):
+    """VGG19-style pyramid (encoder.py VGG19): feats at strides 1/2/4/8."""
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for ch, n in ((64, 2), (128, 2), (256, 4), (512, 4)):
+            x = _VGGBlock(ch, n)(x)
+            feats.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return feats  # strides 1, 2, 4, 8
+
+
+class _ConvRefiner(nn.Module):
+    """Residual conv stack emitting (context, logits) (decoder.py ConvRefiner)."""
+    hidden: int
+    out_context: int
+    out_logits: int
+    hidden_blocks: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.GroupNorm(num_groups=8)(nn.Conv(self.hidden, (3, 3))(x)))
+        for _ in range(self.hidden_blocks):
+            y = nn.relu(nn.GroupNorm(num_groups=8)(nn.Conv(self.hidden, (3, 3))(x)))
+            x = x + nn.Conv(self.hidden, (3, 3))(y)
+        out = nn.Conv(self.out_context + self.out_logits, (1, 1))(x)
+        return out[..., :self.out_context], out[..., self.out_context:]
+
+
+class _Decoder(nn.Module):
+    """Coarse-to-fine refinement over the pyramid (decoder.py Decoder):
+    at each stride, refine [feat, upsampled context], accumulate upsampled
+    logits, finish at stride 1."""
+    out_logits: int
+
+    @nn.compact
+    def __call__(self, feats):
+        hidden = {8: 512, 4: 256, 2: 128, 1: 64}
+        context = {8: 256, 4: 128, 2: 64, 1: 0}
+        logits = None
+        ctx = None
+        for i, stride in enumerate((8, 4, 2, 1)):
+            feat = feats[3 - i]
+            inp = feat if ctx is None else jnp.concatenate([feat, ctx], -1)
+            ctx, new_logits = _ConvRefiner(
+                hidden[stride], context[stride], self.out_logits)(inp)
+            logits = new_logits if logits is None else logits + new_logits
+            if stride > 1:
+                B, h, w, _ = feat.shape
+                up = lambda t: jax.image.resize(
+                    t, (B, 2 * h, 2 * w, t.shape[-1]), "bilinear")
+                ctx = up(ctx) if context[stride] else None
+                logits = up(logits)
+        return logits  # (B, H, W, out_logits)
+
+
+class DeDoDeDetector(nn.Module):
+    """Keypoint-logit head (dedode_models.py dedode_detector_L)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return _Decoder(out_logits=1)(_VGGEncoder()(x))[..., 0]  # (B, H, W)
+
+
+class DeDoDeDescriptor(nn.Module):
+    """Dense-descriptor head (dedode_models.py dedode_descriptor_B)."""
+    desc_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        return _Decoder(out_logits=self.desc_dim)(_VGGEncoder()(x))
+
+
+def sample_keypoints(scoremap: jax.Array, num_samples: int = 2048,
+                     increase_coverage: bool = True
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """(B, H, W) softmax scoremap -> ((B, N, 2) xy in [-1, 1], (B, N) scores)
+    (utils.py:24 sample_keypoints, fixed-N top-k)."""
+    B, H, W = scoremap.shape
+    score = scoremap
+    if increase_coverage:
+        # separable Gaussian local density; downweight crowded regions
+        w1d = jnp.exp(-jnp.linspace(-2.0, 2.0, 51) ** 2)
+        pad = 51 // 2
+        x = (score + 1e-6)[:, :, :, None]
+        x = jax.lax.conv_general_dilated(
+            x, w1d.reshape(1, 51, 1, 1), (1, 1), [(0, 0), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = jax.lax.conv_general_dilated(
+            x, w1d.reshape(51, 1, 1, 1), (1, 1), [(pad, pad), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        density = x[..., 0]
+        score = score * (density + 1e-8) ** -0.5
+    vals, idx = jax.lax.top_k(score.reshape(B, -1), min(num_samples, H * W))
+    ys = (idx // W).astype(scoremap.dtype)
+    xs = (idx % W).astype(scoremap.dtype)
+    kps = jnp.stack([(xs + 0.5) / W * 2 - 1, (ys + 0.5) / H * 2 - 1], -1)
+    scores = jnp.take_along_axis(scoremap.reshape(B, -1), idx, axis=-1)
+    return kps, scores
+
+
+class DeDoDe:
+    """Detect-and-describe (dedode.py:48). Call with (B, 3, H, W) in [0, 1];
+    returns ((B, N, 2) xy pixel keypoints, (B, N) scores, (B, N, D) descs).
+    `detect` / `describe` are independently usable, like the reference's
+    decoupled detector/descriptor design."""
+
+    def __init__(self, desc_dim: int = 256, num_keypoints: int = 2048,
+                 params_det: Optional[dict] = None,
+                 params_desc: Optional[dict] = None,
+                 key: Optional[jax.Array] = None):
+        self.detector = DeDoDeDetector()
+        self.descriptor = DeDoDeDescriptor(desc_dim=desc_dim)
+        self.num_keypoints = num_keypoints
+        self._pdet = params_det
+        self._pdesc = params_desc
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+
+    def init(self, hw: Tuple[int, int] = (64, 64)):
+        k1, k2 = jax.random.split(self._key)
+        x = jnp.zeros((1, *hw, 3))
+        self._pdet = self.detector.init(k1, x)
+        self._pdesc = self.descriptor.init(k2, x)
+        return self._pdet, self._pdesc
+
+    def _prep(self, images: jax.Array) -> jax.Array:
+        B, C, H, W = images.shape
+        check(C == 3, f"DeDoDe expects (B, 3, H, W) RGB input, got C={C}")
+        check(H % 8 == 0 and W % 8 == 0,
+              f"DeDoDe needs H, W divisible by 8, got {H}x{W}")
+        x = jnp.transpose(as_float(images), (0, 2, 3, 1))
+        mean = jnp.asarray(_IMAGENET_MEAN, x.dtype)
+        std = jnp.asarray(_IMAGENET_STD, x.dtype)
+        x = (x - mean) / std
+        if self._pdet is None:
+            self.init(x.shape[1:3])
+        return x
+
+    def detect(self, images: jax.Array, n: Optional[int] = None
+               ) -> Tuple[jax.Array, jax.Array]:
+        """-> ((B, N, 2) xy in [-1, 1], (B, N) scores)."""
+        x = self._prep(images)
+        B, H, W, _ = x.shape
+        logits = self.detector.apply(self._pdet, x)
+        scoremap = jax.nn.softmax(logits.reshape(B, -1), -1).reshape(B, H, W)
+        return sample_keypoints(scoremap, n or self.num_keypoints)
+
+    def describe(self, images: jax.Array,
+                 keypoints: Optional[jax.Array] = None) -> jax.Array:
+        """keypoints (B, N, 2) xy in [-1, 1] -> (B, N, D); None -> dense
+        (B, D, H, W)."""
+        x = self._prep(images)
+        desc = self.descriptor.apply(self._pdesc, x)     # (B, H, W, D)
+        dense = jnp.transpose(desc, (0, 3, 1, 2))
+        if keypoints is None:
+            return dense
+        sampled = grid_sample(dense, keypoints[:, :, None, :],
+                              mode="bilinear", align_corners=False)
+        return jnp.transpose(sampled[:, :, :, 0], (0, 2, 1))  # (B, N, D)
+
+    def __call__(self, images: jax.Array, n: Optional[int] = None
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        kps_norm, scores = self.detect(images, n)
+        descs = self.describe(images, kps_norm)
+        _, _, H, W = images.shape
+        kps_px = jnp.stack([(kps_norm[..., 0] + 1) / 2 * W,
+                            (kps_norm[..., 1] + 1) / 2 * H], -1)
+        return kps_px, scores, descs
