@@ -47,6 +47,7 @@ from .orientation import LAFOrienter, patch_dominant_gradient_orientation
 from .xfeat import XFeat
 from .sold2 import SOLD2, SOLD2_detector, SOLD2Net
 from .dedode import DeDoDe, DeDoDeDescriptor, DeDoDeDetector
+from .aliked import ALIKED, ALIKEDNet, SDDH, dkd_detect
 from .responses import (
     dog_response,
     dog_response_single,

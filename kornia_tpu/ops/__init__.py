@@ -1,4 +1,5 @@
-from . import color, enhance, filters, morphology, warp
+from . import color, deform_conv, enhance, filters, morphology, warp
+from .deform_conv import deform_conv2d  # noqa: F401
 from .color import *  # noqa: F401,F403
 from .enhance import *  # noqa: F401,F403
 from .filters import *  # noqa: F401,F403
