@@ -48,6 +48,7 @@ from .xfeat import XFeat
 from .sold2 import SOLD2, SOLD2_detector, SOLD2Net
 from .dedode import DeDoDe, DeDoDeDescriptor, DeDoDeDetector
 from .aliked import ALIKED, ALIKEDNet, SDDH, dkd_detect
+from .defmo import DeFMO, EncoderDeFMO, RenderingDeFMO
 from .responses import (
     dog_response,
     dog_response_single,

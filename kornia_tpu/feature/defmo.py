@@ -1,0 +1,150 @@
+"""DeFMO fast-moving-object deblurring, TPU-native.
+
+Reference behavior: kornia/feature/defmo.py (DeFMO:365, EncoderDeFMO:270 —
+ResNet50 with 6-ch stem and NO maxpool -> stride-16 latent; Bottleneck:51;
+RenderingDeFMO:303 — time-conditioned decoder with 4 pixel-shuffle stages,
+24 sub-frames; sigmoid on the final RGBA).
+
+TPU-first redesign (NOT a port):
+- The reference renders the 24 sub-frames in a Python loop, one decoder
+  pass each. Here the T time steps are FOLDED INTO THE BATCH: the latent is
+  broadcast to (B*T, ...), the time channel concatenated, and the decoder
+  runs ONCE — a 24x larger, MXU-saturating batch instead of 24 small
+  launches.
+- flax/NHWC throughout; BatchNorm uses frozen running stats (eval-mode
+  network); pixel-shuffle is a reshape/transpose pair XLA fuses for free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.check import check
+from ..core.dtype import as_float
+
+__all__ = ["DeFMO", "EncoderDeFMO", "RenderingDeFMO"]
+
+
+def _bn(x: jax.Array) -> jax.Array:
+    return nn.BatchNorm(use_running_average=True)(x)
+
+
+def _pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
+    """NHWC pixel shuffle with torch channel semantics (PixelShuffle)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H, W, C // (r * r), r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(B, H * r, W * r, C // (r * r))
+
+
+class _Bottleneck(nn.Module):
+    """ResNet bottleneck 1x1-3x3-1x1, expansion 4 (defmo.py Bottleneck:51)."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.planes * 4
+        idn = x
+        y = nn.relu(_bn(nn.Conv(self.planes, (1, 1), use_bias=False)(x)))
+        y = nn.relu(_bn(nn.Conv(self.planes, (3, 3), strides=self.stride,
+                                use_bias=False)(y)))
+        y = _bn(nn.Conv(out_ch, (1, 1), use_bias=False)(y))
+        if x.shape[-1] != out_ch or self.stride != 1:
+            idn = _bn(nn.Conv(out_ch, (1, 1), strides=self.stride,
+                              use_bias=False, name="downsample")(x))
+        return nn.relu(y + idn)
+
+
+class EncoderDeFMO(nn.Module):
+    """ResNet50 encoder, 6-ch stem, maxpool removed (EncoderDeFMO:270).
+
+    (B, H, W, 6) -> (B, H/16, W/16, 2048).
+    """
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(_bn(nn.Conv(64, (7, 7), strides=2, use_bias=False,
+                                name="stem")(x)))
+        for i, (planes, n, stride) in enumerate(
+                zip((64, 128, 256, 512), self.layers, (1, 2, 2, 2))):
+            for b in range(n):
+                x = _Bottleneck(planes, stride if b == 0 else 1,
+                                name=f"layer{i + 1}_{b}")(x)
+        return x
+
+
+class RenderingDeFMO(nn.Module):
+    """Time-conditioned pixel-shuffle decoder (RenderingDeFMO:303).
+
+    (B, h, w, 2048) -> (B, T, 4, 16h, 16w) RGBA, T time steps folded into
+    the batch for one MXU-wide decoder pass.
+    """
+
+    tsr_steps: int = 24
+
+    @nn.compact
+    def __call__(self, latent):
+        B, h, w, C = latent.shape
+        T = self.tsr_steps
+        times = jnp.linspace(0.0, 1.0, T, dtype=latent.dtype)
+        # (B*T, h, w, 1 + C): time channel first, as the reference concats
+        lat = jnp.broadcast_to(latent[:, None], (B, T, h, w, C))
+        lat = lat.reshape(B * T, h, w, C)
+        tch = jnp.broadcast_to(times[None, :, None, None, None],
+                               (B, T, h, w, 1)).reshape(B * T, h, w, 1)
+        x = jnp.concatenate([tch, lat], axis=-1)
+
+        x = nn.relu(_bn(nn.Conv(1024, (3, 3), use_bias=False)(x)))
+        x = _Bottleneck(256)(x)
+        x = _pixel_shuffle(x, 2)
+        x = _Bottleneck(64)(x)
+        x = _pixel_shuffle(x, 2)
+        x = _Bottleneck(16)(x)
+        x = _pixel_shuffle(x, 2)
+        x = nn.Conv(16, (3, 3), use_bias=False)(x)
+        x = _pixel_shuffle(x, 2)
+        x = nn.relu(nn.Conv(4, (3, 3))(x))
+        x = nn.Conv(4, (3, 3))(x)
+        x = jax.nn.sigmoid(x)
+        x = x.reshape(B, T, 16 * h, 16 * w, 4)
+        return x.transpose(0, 1, 4, 2, 3)  # (B, T, 4, H, W)
+
+
+class _DeFMOModel(nn.Module):
+    tsr_steps: int = 24
+
+    @nn.compact
+    def __call__(self, x):
+        return RenderingDeFMO(self.tsr_steps)(EncoderDeFMO()(x))
+
+
+class DeFMO:
+    """Deblur a fast-moving object into T RGBA sub-frames (DeFMO:365).
+
+    Call with (B, 6, H, W): blurred RGB concatenated with a background
+    estimate; H, W multiples of 16. Returns (B, T, 4, H, W).
+    """
+
+    def __init__(self, tsr_steps: int = 24, params: Optional[dict] = None,
+                 key: Optional[jax.Array] = None):
+        self.model = _DeFMOModel(tsr_steps)
+        self.params = params
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+
+    def __call__(self, images: jax.Array) -> jax.Array:
+        B, C, H, W = images.shape
+        check(C == 6, f"DeFMO expects (B, 6, H, W) input, got C={C}")
+        check(H % 16 == 0 and W % 16 == 0,
+              f"DeFMO needs H, W divisible by 16, got {H}x{W}")
+        x = jnp.transpose(as_float(images), (0, 2, 3, 1))
+        if self.params is None:
+            self.params = self.model.init(self._key, jnp.zeros((1, 32, 32, 6)))
+        return self.model.apply(self.params, x)

@@ -1,1 +1,2 @@
 from .planar_tracker import HomographyTracker
+from .bytetrack import BoxTracker, ByteTracker, TrackState
