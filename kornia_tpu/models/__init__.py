@@ -3,3 +3,8 @@ from .rt_detr import DETRPostProcessor, RTDETR, RTDETRConfig
 from .sam import Sam, SamConfig, VisualPrompter
 from .small_sr import SmallSR, UNetSegmentor
 from .vit import ViTConfig, VisionTransformer
+from .depth_anything import DepthAnything, DepthAnythingConfig, DepthAnythingNet
+from .siglip2 import (SigLip2, SigLip2Config, SigLip2Model, SigLip2TextConfig,
+                      SigLip2TextTower, SigLip2VisionConfig,
+                      SigLip2VisionTower, siglip_loss)
+from .vlm import VLM, DecoderConfig, DecoderLM, VLMConfig, VLMModel
