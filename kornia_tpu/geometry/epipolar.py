@@ -34,6 +34,7 @@ __all__ = [
     "run_8point",
     "run_7point",
     "run_5point",
+    "polish_essential",
     "find_fundamental",
     "find_essential",
     "essential_from_fundamental",
@@ -396,9 +397,112 @@ def run_5point(points1: jax.Array, points2: jax.Array,
     mono = _monomials3(xs, ys, z_roots)  # (B, R, 20)
     resid = jnp.einsum("bce,bre->brc", constraints, mono)  # (B, R, 10)
     scale2 = (1.0 + xs**2 + ys**2 + z_roots**2) ** 3
-    ok = jnp.sum(resid**2, axis=-1) < 1e-6 * scale2
+    r2 = jnp.sum(resid**2, axis=-1)
+    ok = r2 < 1e-6 * scale2
+    # never return an all-zero candidate set: the lowest-residual candidate
+    # survives even when the f32 threshold rejects everything (~0.2% of
+    # minimal samples); downstream RANSAC scoring / cheirality culls it if
+    # it is genuinely bad, and `polish_essential` can recover it.
+    best = jnp.argmin(r2 / scale2, axis=-1)
+    ok = ok.at[jnp.arange(B), best].set(True)
     E = jnp.where(ok[..., None, None], E, 0.0)
     return E
+
+
+def _hat(t: jax.Array) -> jax.Array:
+    """(..., 3) -> (..., 3, 3) skew-symmetric cross matrix."""
+    z = jnp.zeros_like(t[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -t[..., 2], t[..., 1]], -1),
+        jnp.stack([t[..., 2], z, -t[..., 0]], -1),
+        jnp.stack([-t[..., 1], t[..., 0], z], -1)], -2)
+
+
+def _exp_so3(w: jax.Array) -> jax.Array:
+    """Rodrigues: (3,) tangent -> (3, 3) rotation (f32-safe small-angle)."""
+    th2 = jnp.sum(w * w)
+    th = jnp.sqrt(th2 + 1e-24)
+    K = _hat(w) / th
+    s, c = jnp.sin(th), jnp.cos(th)
+    R = jnp.eye(3, dtype=w.dtype) + s * K + (1.0 - c) * (K @ K)
+    return jnp.where(th2 > 1e-12, R, jnp.eye(3, dtype=w.dtype) + _hat(w))
+
+
+def polish_essential(E: jax.Array, points1: jax.Array, points2: jax.Array,
+                     iters: int = 3) -> jax.Array:
+    """Newton polish of essential candidates ON THE (R, t) MANIFOLD.
+
+    Closes the ~1% f32 tail of `run_5point` (det-interpolation +
+    Durand-Kerner noise): each candidate is decomposed to (R, t), then
+    Gauss-Newton over the 5-dof tangent (3 rotation + 2 on the t-sphere)
+    minimizes the epipolar residuals x2^T [t]x R x1 — the essential
+    constraints hold by construction. Zero (invalid) candidates pass
+    through unchanged; a polished candidate is only accepted if its mean
+    squared epipolar residual decreased.
+
+    E: (B, R, 3, 3) candidates (unit Frobenius, zeros = invalid);
+    points1/2: (B, N, 2) normalized image coordinates.
+    Returns (B, R, 3, 3).
+    """
+    E = as_float(E)
+    p1 = _to_homog(as_float(points1))  # (B, N, 3)
+    p2 = _to_homog(as_float(points2))
+    B, R_cand = E.shape[:2]
+    valid = jnp.sum(jnp.abs(E), (-1, -2)) > 1e-8  # (B, R)
+
+    R1, _R2, t0 = decompose_essential_matrix(
+        jnp.where(valid[..., None, None], E,
+                  jnp.eye(3, dtype=E.dtype)))  # (B, R, 3, 3), (B, R, 3, 1)
+
+    def res_fn(Rm, tm, x1, x2):
+        Em = _hat(tm) @ Rm
+        return jnp.einsum("ni,ij,nj->n", x2, Em, x1)
+
+    def polish_one(Rm, t, x1, x2):
+        t = t[..., 0]
+
+        def body(carry, _):
+            Rm, t = carry
+            # orthonormal basis of the tangent plane at t
+            e = jnp.eye(3, dtype=t.dtype)[jnp.argmin(jnp.abs(t))]
+            b1 = jnp.cross(t, e)
+            b1 = b1 / jnp.linalg.norm(b1)
+            b2 = jnp.cross(t, b1)
+
+            def res(d):
+                Rn = _exp_so3(d[:3]) @ Rm
+                tn = t + b1 * d[3] + b2 * d[4]
+                tn = tn / jnp.linalg.norm(tn)
+                return res_fn(Rn, tn, x1, x2)
+
+            z = jnp.zeros(5, dtype=t.dtype)
+            r = res(z)
+            J = jax.jacfwd(res)(z)  # (N, 5)
+            JtJ = J.T @ J + 1e-8 * jnp.eye(5, dtype=t.dtype)
+            d = -jnp.linalg.solve(JtJ, J.T @ r)
+            Rn = _exp_so3(d[:3]) @ Rm
+            tn = t + b1 * d[3] + b2 * d[4]
+            tn = tn / jnp.linalg.norm(tn)
+            better = jnp.sum(res_fn(Rn, tn, x1, x2) ** 2) < jnp.sum(r * r)
+            Rm = jnp.where(better, Rn, Rm)
+            t = jnp.where(better, tn, t)
+            return (Rm, t), None
+
+        (Rm, t), _ = jax.lax.scan(body, (Rm, t), None, length=iters)
+        return _hat(t) @ Rm / jnp.sqrt(2.0).astype(t.dtype)
+
+    E_pol = jax.vmap(  # over batch
+        jax.vmap(polish_one, in_axes=(0, 0, None, None))
+    )(R1, t0, p1, p2)
+
+    # accept only genuine improvements (and keep invalid slots zero)
+    def msr(Em):
+        r = jnp.einsum("bni,brij,bnj->brn", p2, Em, p1)
+        return jnp.mean(r * r, -1)
+
+    better = msr(E_pol) < msr(E)
+    keep = valid & better
+    return jnp.where(keep[..., None, None], E_pol, E)
 
 
 def find_essential(points1: jax.Array, points2: jax.Array,

@@ -467,3 +467,41 @@ class TestDepth:
         depth = jnp.full((1, 1, 9, 9), 2.0)
         out = warp_frame_depth(img, depth, jnp.eye(4)[None], K)
         np.testing.assert_allclose(out, img, atol=1e-3)
+
+
+class TestPolishEssential:
+    def test_polish_tightens_5point_candidates(self, key):
+        s = make_scene(key, B=8)
+        x1n = C.normalize_points_with_intrinsics(s["x1"], s["K"])
+        x2n = C.normalize_points_with_intrinsics(s["x2"], s["K"])
+        p1, p2 = x1n[:, :5], x2n[:, :5]
+        E = Ep.run_5point(p1, p2)
+        Ep_pol = Ep.polish_essential(E, p1, p2, iters=3)
+
+        def best(Em):
+            NC = Em.shape[1]
+            res = jnp.stack(
+                [Ep.sampson_epipolar_distance(p1, p2, Em[:, i]).max(-1)
+                 for i in range(NC)], -1)
+            valid = jnp.linalg.norm(Em.reshape(8, NC, 9), axis=-1) > 0.5
+            return jnp.where(valid, res, jnp.inf).min(-1)
+
+        b0, b1 = best(E), best(Ep_pol)
+        assert float(jnp.median(b1)) <= float(jnp.median(b0)) + 1e-12
+        assert float(b1.max()) < 1e-3
+        # polished candidates remain essential: det == 0, two equal svals
+        valid = jnp.linalg.norm(Ep_pol.reshape(8, -1, 9), axis=-1) > 0.5
+        dets = jnp.abs(jnp.linalg.det(Ep_pol))
+        assert float(jnp.where(valid, dets, 0.0).max()) < 1e-5
+        sv = jnp.linalg.svd(Ep_pol, compute_uv=False)
+        gap = jnp.abs(sv[..., 0] - sv[..., 1])
+        assert float(jnp.where(valid, gap, 0.0).max()) < 1e-4
+
+    def test_5point_never_returns_empty_candidate_set(self, key):
+        # degenerate-ish minimal samples must still yield >= 1 candidate
+        ks = jax.random.split(key, 16)
+        p1 = jax.random.normal(ks[0], (16, 5, 2)) * 0.4
+        p2 = p1 + 0.05 * jax.random.normal(ks[1], (16, 5, 2))
+        E = Ep.run_5point(p1, p2)
+        valid = jnp.linalg.norm(E.reshape(16, -1, 9), axis=-1) > 0.5
+        assert bool(jnp.all(jnp.any(valid, -1)))
