@@ -16,6 +16,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from kornia_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # persist TPU executables across runs
+
 
 def _bench(fn, *args, warmup=3, iters=30):
     """Median of per-call times — robust to the remote-tunnel latency

@@ -65,3 +65,16 @@ class TestProsac:
         assert int(res.inlier_count) >= 60
         np.testing.assert_allclose(res.model / res.model[2, 2], jnp.eye(3),
                                    atol=1e-3)
+
+
+def test_enable_compilation_cache(tmp_path):
+    from kornia_tpu.utils import enable_compilation_cache
+    import kornia_tpu.utils.compile_cache as cc
+    prev = cc._enabled
+    cc._enabled = False
+    try:
+        assert enable_compilation_cache(str(tmp_path / "xla"))
+        assert (tmp_path / "xla").is_dir()
+        assert enable_compilation_cache()  # idempotent
+    finally:
+        cc._enabled = prev
