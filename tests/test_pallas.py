@@ -36,3 +36,45 @@ class TestStreamingMin2:
         np.testing.assert_array_equal(np.asarray(v), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(mt[v][:, 1]),
                                       np.asarray(mt2[v2][:, 1]))
+
+
+class TestFusedSeparableBlur:
+    def test_matches_filter2d_separable(self):
+        from kornia_tpu.ops.filters import (filter2d_separable,
+                                            get_gaussian_kernel1d)
+        from kornia_tpu.ops.pallas_kernels import fused_separable_blur2d
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 3, 32, 40)), dtype=jnp.float32)
+        for ksz, s in [(3, 0.8), (5, 1.5), (9, 2.0)]:
+            k = get_gaussian_kernel1d(ksz, s)
+            ref = filter2d_separable(x, k, k, "reflect")
+            ours = fused_separable_blur2d(x, k, k, "reflect", interpret=True)
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                       atol=1e-5)
+
+    def test_replicate_border_and_asym_kernels(self):
+        from kornia_tpu.ops.filters import (filter2d_separable,
+                                            get_gaussian_kernel1d)
+        from kornia_tpu.ops.pallas_kernels import fused_separable_blur2d
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((1, 1, 24, 48)), dtype=jnp.float32)
+        ky = get_gaussian_kernel1d(7, 1.2)
+        kx = get_gaussian_kernel1d(3, 0.9)
+        ref = filter2d_separable(x, kx, ky, "replicate")
+        ours = fused_separable_blur2d(x, ky, kx, "replicate",
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_block_divisibility(self):
+        # B*C = 12 is divisible by 4 and 2 but not 8 — exercises NB select
+        from kornia_tpu.ops.filters import (filter2d_separable,
+                                            get_gaussian_kernel1d)
+        from kornia_tpu.ops.pallas_kernels import fused_separable_blur2d
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.random((4, 3, 16, 16)), dtype=jnp.float32)
+        k = get_gaussian_kernel1d(5, 1.0)
+        ref = filter2d_separable(x, k, k, "reflect")
+        ours = fused_separable_blur2d(x, k, k, "reflect", interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5)
