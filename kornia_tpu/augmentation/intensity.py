@@ -15,6 +15,7 @@ from .base import IntensityAugmentationBase2D
 
 __all__ = [
     "ColorJiggle",
+    "RandomDissolving",
     "ColorJitter",
     "RandomBrightness",
     "RandomContrast",
@@ -557,3 +558,30 @@ class Denormalize(IntensityAugmentationBase2D):
 
     def apply(self, x, params):
         return E.denormalize(x, self.mean, self.std)
+
+
+class RandomDissolving(IntensityAugmentationBase2D):
+    """One-step reverse-diffusion 'dissolve'
+    (reference: _2d/intensity/dissolving.py:27, backed by
+    models/diffusion.py StableDiffusionDissolving). The reference samples
+    step_range=(100, 500) against a 50-entry DDIM timestep table (an
+    out-of-range index under torch); here the sampled step is drawn over
+    the valid [0, num_ddim_steps) range. H, W must be multiples of 8."""
+
+    def __init__(self, step_range=None, model=None, **kw):
+        kw.setdefault("same_on_batch", True)
+        super().__init__(**kw)
+        if model is None:
+            from ..models.diffusion import StableDiffusionDissolving
+            model = StableDiffusionDissolving()
+        self._dslv = model
+        n = self._dslv.cfg.num_ddim_steps
+        self.step_range = step_range or (0, n - 1)
+
+    def sample_params(self, key, batch, shape):
+        lo, hi = self.step_range
+        step = jax.random.randint(key, (batch,), int(lo), int(hi) + 1)
+        return {"step": step}
+
+    def apply(self, x, params):
+        return self._dslv.dissolve(x, params["step"][0])

@@ -8,3 +8,5 @@ from .siglip2 import (SigLip2, SigLip2Config, SigLip2Model, SigLip2TextConfig,
                       SigLip2TextTower, SigLip2VisionConfig,
                       SigLip2VisionTower, siglip_loss)
 from .vlm import VLM, DecoderConfig, DecoderLM, VLMConfig, VLMModel
+from .diffusion import (AutoencoderKL, DDIMSchedule, DiffusionConfig,
+                        StableDiffusionDissolving, UNet2dCondition)
