@@ -10,3 +10,5 @@ from .siglip2 import (SigLip2, SigLip2Config, SigLip2Model, SigLip2TextConfig,
 from .vlm import VLM, DecoderConfig, DecoderLM, VLMConfig, VLMModel
 from .diffusion import (AutoencoderKL, DDIMSchedule, DiffusionConfig,
                         StableDiffusionDissolving, UNet2dCondition)
+from .mobile_vit import MobileViT
+from .sam3 import ImageEncoderHiera, MaskDecoder3, PromptEncoder3, Sam3
