@@ -3,14 +3,16 @@ ObjectDetector:128, BoxFiltering:292; face_detection.py — FaceDetector:144,
 FaceDetectorResult:45; edge_detection.py EdgeDetector:37).
 
 The task wrappers (pre-processing, decoding, NMS, result containers) are
-complete and jit-friendly; backbones are compact flax networks with the
-same I/O contracts as the reference's RT-DETR / YuNet / DexiNed so ported
-weights drop in.
+jit-friendly; FaceDetector runs the exact YuNet architecture
+(`models/yunet.py`) and EdgeDetector the exact DexiNed
+(`models/dexined.py`), so the published torch checkpoints drop in via
+each model's `load_torch_weights`.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import enum
 from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -21,7 +23,7 @@ from ..core.dtype import as_float
 from ..geometry.bbox import nms as bbox_nms
 from ..models.common import nchw_to_nhwc
 
-__all__ = ["ObjectDetector", "BoxFiltering", "FaceDetector",
+__all__ = ["ObjectDetector", "BoxFiltering", "FaceDetector", "FaceKeypoint",
            "FaceDetectorResult", "EdgeDetector"]
 
 
@@ -140,132 +142,145 @@ class ObjectDetector:
 # Face detection
 # -----------------------------------------------------------------------------
 
+class FaceKeypoint(enum.Enum):
+    """Facial keypoint ids (reference: face_detection.py:32-42)."""
+
+    EYE_LEFT = 0
+    EYE_RIGHT = 1
+    NOSE = 2
+    MOUTH_LEFT = 3
+    MOUTH_RIGHT = 4
+
+
 @dataclasses.dataclass
 class FaceDetectorResult:
-    """(reference: face_detection.py:45). data: (14,) = score, xyxy box +
-    5 landmark pairs."""
+    """(reference: face_detection.py:45). data: (..., 15) = xyxy box,
+    5 landmark xy pairs, score — padded rows have score 0."""
 
     data: jax.Array
 
     @property
-    def score(self):
+    def xmin(self):
         return self.data[..., 0]
 
     @property
-    def xmin(self):
+    def ymin(self):
         return self.data[..., 1]
 
     @property
-    def ymin(self):
+    def xmax(self):
         return self.data[..., 2]
 
     @property
-    def xmax(self):
+    def ymax(self):
         return self.data[..., 3]
 
     @property
-    def ymax(self):
-        return self.data[..., 4]
+    def score(self):
+        return self.data[..., 14]
 
-    def get_keypoint(self, i: int) -> jax.Array:
-        return self.data[..., 5 + 2 * i : 7 + 2 * i]
+    @property
+    def width(self):
+        return self.xmax - self.xmin
 
+    @property
+    def height(self):
+        return self.ymax - self.ymin
 
-class _TinyFaceNet(nn.Module):
-    """YuNet-shaped single-level face head: score + box + 5 landmarks."""
+    @property
+    def top_left(self):
+        return self.data[..., 0:2]
 
-    @nn.compact
-    def __call__(self, x):
-        for ch in (16, 32, 64):
-            x = nn.relu(nn.GroupNorm(num_groups=4)(
-                nn.Conv(ch, (3, 3), strides=2, use_bias=False)(x)))
-        score = nn.Conv(1, (1, 1))(x)
-        box = nn.Conv(4, (1, 1))(x)
-        lmk = nn.Conv(10, (1, 1))(x)
-        return score, box, lmk
+    @property
+    def bottom_right(self):
+        return self.data[..., 2:4]
+
+    def get_keypoint(self, keypoint) -> jax.Array:
+        i = keypoint.value if isinstance(keypoint, FaceKeypoint) else int(keypoint)
+        return self.data[..., 4 + 2 * i: 6 + 2 * i]
 
 
 class FaceDetector:
-    """(reference: face_detection.py:144): net → decode → NMS →
-    FaceDetectorResult list per image."""
+    """(reference: face_detection.py:144): exact YuNet → prior decode →
+    sqrt(cls·iou) scoring → NMS → FaceDetectorResult list per image.
 
-    def __init__(self, confidence_threshold: float = 0.5,
-                 nms_threshold: float = 0.3, top_k: int = 64,
+    Fully static: `top_k` bounds the pre-NMS candidate set and the output
+    is `keep_top_k` rows with suppressed/padded rows zeroed (score 0),
+    compacted to the front in score order — jit-compatible replacement for
+    the reference's variable-length keep lists."""
+
+    def __init__(self, top_k: int = 5000, confidence_threshold: float = 0.3,
+                 nms_threshold: float = 0.3, keep_top_k: Optional[int] = None,
                  params: Optional[Any] = None,
                  key: Optional[jax.Array] = None):
-        self.module = _TinyFaceNet()
+        from ..models.yunet import YuNet, yunet_init_params
         self.confidence_threshold = confidence_threshold
         self.nms_threshold = nms_threshold
         self.top_k = top_k
-        self._params = params
-        self._key = key if key is not None else jax.random.PRNGKey(0)
+        self.keep_top_k = keep_top_k if keep_top_k is not None else top_k
+        if params is None:
+            params = yunet_init_params(
+                key if key is not None else jax.random.PRNGKey(0))
+        self.model = YuNet(params)
 
     def __call__(self, images: jax.Array) -> List[FaceDetectorResult]:
+        from ..models.yunet import prior_boxes, decode, VARIANCE
         images = as_float(images)
-        x = nchw_to_nhwc(images)
-        if self._params is None:
-            self._params = self.module.init(self._key, x)
-        score, box, lmk = self.module.apply(self._params, x)
-        B, Hc, Wc, _ = score.shape
-        stride = images.shape[-1] / Wc
-        s = jax.nn.sigmoid(score).reshape(B, -1)
-        ys, xs = jnp.meshgrid(jnp.arange(Hc, dtype=jnp.float32),
-                              jnp.arange(Wc, dtype=jnp.float32), indexing="ij")
-        cx = ((xs + 0.5) * stride).reshape(-1)[None]
-        cy = ((ys + 0.5) * stride).reshape(-1)[None]
-        reg = jax.nn.softplus(box).reshape(B, -1, 4) * stride
-        bx = jnp.stack([cx - reg[..., 0], cy - reg[..., 1],
-                        cx + reg[..., 2], cy + reg[..., 3]], -1)
-        lm = lmk.reshape(B, -1, 10) * stride + jnp.concatenate(
-            [jnp.stack([cx, cy], -1)] * 5, -1)
-        results = []
-        K = min(self.top_k, bx.shape[1])
-        for b in range(B):
-            keep = bbox_nms(bx[b], s[b], self.nms_threshold, max_output=K)
-            valid = keep >= 0
-            idx = jnp.maximum(keep, 0)
-            data = jnp.concatenate([
-                jnp.where(valid, s[b][idx], 0.0)[:, None],
-                bx[b][idx], lm[b][idx]], -1)
-            results.append(FaceDetectorResult(data))
-        return results
+        H, W = images.shape[-2:]
+        out = self.model(images)
+        priors = prior_boxes((H, W))
+        boxes = decode(out["loc"], priors, VARIANCE)  # (B, N, 14)
+        scale = jnp.asarray([W, H] * 7, boxes.dtype)
+        boxes = boxes * scale
+        scores = jnp.sqrt(out["conf"][..., 1]
+                          * jnp.clip(out["iou"][..., 0], 0.0, 1.0))
+        scores = jnp.where(scores > self.confidence_threshold, scores, 0.0)
+        B = scores.shape[0]
+        return [FaceDetectorResult(self.postprocess_one(boxes[b], scores[b]))
+                for b in range(B)]
+
+    def postprocess_one(self, boxes: jax.Array, scores: jax.Array) -> jax.Array:
+        """Single-image top-k → NMS → front-compacted (keep_top_k, 15) rows
+        (reference postprocess loop, face_detection.py:185-206)."""
+        N = scores.shape[0]
+        K = min(self.top_k, N)
+        keep_k = min(self.keep_top_k, K)
+        s_k, idx = jax.lax.top_k(scores, K)
+        b_k = boxes[idx]
+        keep = bbox_nms(b_k[:, :4], s_k, self.nms_threshold)
+        valid = (keep >= 0)
+        # compact kept rows to the front, preserving score order
+        order = jnp.argsort(~valid, stable=True)[:keep_k]
+        sel = jnp.maximum(keep[order], 0)
+        ok = valid[order] & (s_k[sel] > 0)
+        data = jnp.concatenate([b_k[sel], s_k[sel][:, None]], -1)
+        return jnp.where(ok[:, None], data, 0.0)
 
 
 # -----------------------------------------------------------------------------
 # Edge detection
 # -----------------------------------------------------------------------------
 
-class _TinyDexiNed(nn.Module):
-    """DexiNed-shaped multi-scale edge net (reference: models/dexined.py)."""
-
-    @nn.compact
-    def __call__(self, x):
-        feats = []
-        h = x
-        for ch in (16, 32, 64):
-            h = nn.relu(nn.GroupNorm(num_groups=4)(
-                nn.Conv(ch, (3, 3), use_bias=False)(h)))
-            feats.append(nn.Conv(1, (1, 1))(h))
-            h = nn.avg_pool(h, (2, 2), (2, 2))
-        B, H, W, _ = x.shape
-        ups = [jax.image.resize(f, (B, H, W, 1), "bilinear") for f in feats]
-        fused = nn.Conv(1, (1, 1))(jnp.concatenate(ups, -1))
-        return fused
-
-
 class EdgeDetector:
-    """(reference: edge_detection.py:37)."""
+    """(reference: edge_detection.py:37 + EdgeDetectorBuilder:212-249):
+    resize to `image_size` → ImageNet-mean/255-scale normalize → exact
+    DexiNed → sigmoid → resize back to the input size."""
+
+    _MEAN = (0.485, 0.456, 0.406)
 
     def __init__(self, params: Optional[Any] = None,
-                 key: Optional[jax.Array] = None):
-        self.module = _TinyDexiNed()
-        self._params = params
-        self._key = key if key is not None else jax.random.PRNGKey(0)
+                 key: Optional[jax.Array] = None, image_size: int = 352):
+        from ..models.dexined import DexiNed
+        self.model = DexiNed(params, key)
+        self.image_size = image_size
 
     def __call__(self, images: jax.Array) -> jax.Array:
+        from ..ops.warp import resize
         images = as_float(images)
-        x = nchw_to_nhwc(images)
-        if self._params is None:
-            self._params = self.module.init(self._key, x)
-        out = self.module.apply(self._params, x)
-        return jax.nn.sigmoid(jnp.transpose(out, (0, 3, 1, 2)))
+        H, W = images.shape[-2:]
+        x = resize(images, (self.image_size, self.image_size), "bilinear",
+                   align_corners=False)
+        mean = jnp.asarray(self._MEAN, x.dtype).reshape(1, 3, 1, 1)
+        x = (x - mean) * 255.0
+        out = jax.nn.sigmoid(self.model(x))
+        return resize(out, (H, W), "bilinear", align_corners=False)

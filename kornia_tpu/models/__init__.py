@@ -12,3 +12,5 @@ from .diffusion import (AutoencoderKL, DDIMSchedule, DiffusionConfig,
                         StableDiffusionDissolving, UNet2dCondition)
 from .mobile_vit import MobileViT
 from .sam3 import ImageEncoderHiera, MaskDecoder3, PromptEncoder3, Sam3
+from .dexined import DexiNed
+from .yunet import YuNet

@@ -27,7 +27,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry.liegroup import Se3, So3
@@ -111,7 +111,7 @@ def distributed_bundle_adjust(
         in_specs=(P(), P(), P("data"), P("data"), P("data"), P("data"),
                   P("data"), P()),
         out_specs=(P(), P(), P("data"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def lm_iter(poses_q, poses_t, points_l, cam_i, pt_i, uv_l, valid_l, lam):
         H_cc, H_pp, W, b_c, b_p, cost = _local_normal_eqs(

@@ -31,7 +31,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..geometry.liegroup import Se3, So3
@@ -169,7 +169,7 @@ def distributed_pose_graph(
         in_specs=(P(), P(), P("data"), P("data"), P("data"), P("data"),
                   P("data"), P("data"), P("data"), P("data"), P()),
         out_specs=(P(), P("data"), P()),
-        check_rep=False)
+        check_vma=False)
     def lm_iter(sep_q, sep_t, int_q, int_t, src, dst, mq, mt, w, ivalid,
                 lam):
         lam_s = lam[0]

@@ -1,0 +1,175 @@
+"""Exact-architecture parity for DexiNed and YuNet against the reference
+torch implementations (random init + randomized BN stats; the published
+checkpoints load through the same `load_torch_weights` path)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+sys.modules.setdefault("kornia_rs", types.ModuleType("kornia_rs"))
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+
+def _randomize_bn(module):
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                if m.weight is not None:
+                    m.weight.uniform_(0.5, 1.5)
+                    m.bias.normal_(0, 0.1)
+
+
+class TestDexiNedParity:
+    @pytest.fixture(scope="class")
+    def ref(self):
+        from kornia.models.dexined import DexiNed as TorchDexiNed
+        torch.manual_seed(7)
+        net = TorchDexiNed(pretrained=False).eval()
+        _randomize_bn(net)
+        return net
+
+    def test_forward_parity(self, ref):
+        from kornia_tpu.models.dexined import DexiNed, load_torch_weights
+        x = torch.rand(1, 3, 64, 64, generator=torch.Generator().manual_seed(3))
+        with torch.no_grad():
+            want = ref(x).numpy()
+        net = DexiNed(load_torch_weights(ref.state_dict()))
+        got = np.asarray(net(jnp.asarray(x.numpy())))
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+    def test_features_parity(self, ref):
+        from kornia_tpu.models.dexined import DexiNed, load_torch_weights
+        x = torch.rand(1, 3, 64, 96, generator=torch.Generator().manual_seed(4))
+        with torch.no_grad():
+            want = [f.numpy() for f in ref.get_features(x)]
+        net = DexiNed(load_torch_weights(ref.state_dict()))
+        got = net.get_features(jnp.asarray(x.numpy()))
+        assert len(got) == 6
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), w, atol=5e-4, rtol=1e-3)
+
+
+class TestYuNetParity:
+    @pytest.fixture(scope="class")
+    def ref(self):
+        from kornia.models.yunet import YuNet as TorchYuNet
+        torch.manual_seed(11)
+        net = TorchYuNet("test", pretrained=False).eval()
+        # "test" phase skips init -> give convs nondegenerate weights
+        with torch.no_grad():
+            for m in net.modules():
+                if isinstance(m, torch.nn.Conv2d):
+                    m.weight.normal_(0, 0.1)
+                    if m.bias is not None:
+                        m.bias.normal_(0, 0.05)
+        _randomize_bn(net)
+        return net
+
+    def test_forward_parity(self, ref):
+        from kornia_tpu.models.yunet import YuNet, load_torch_weights
+        x = torch.rand(2, 3, 320, 320, generator=torch.Generator().manual_seed(5))
+        with torch.no_grad():
+            want = ref(x)
+        net = YuNet(load_torch_weights(ref.state_dict()))
+        got = net(jnp.asarray(x.numpy()))
+        for k in ("loc", "conf", "iou"):
+            np.testing.assert_allclose(np.asarray(got[k]), want[k].numpy(),
+                                       atol=5e-5, rtol=1e-3)
+
+    def test_priors_and_decode_parity(self, ref):
+        from kornia.models.yunet.processors import PriorBox as TorchPriorBox
+        from kornia.models.yunet.processors import decode as torch_decode
+        from kornia_tpu.models.yunet import prior_boxes, decode
+
+        h, w = 192, 256
+        want_priors = TorchPriorBox(
+            [[10, 16, 24], [32, 48], [64, 96], [128, 192, 256]],
+            [8, 16, 32, 64], False, (h, w))().numpy()
+        got_priors = np.asarray(prior_boxes((h, w)))
+        np.testing.assert_allclose(got_priors, want_priors, atol=1e-6)
+
+        loc = torch.randn(want_priors.shape[0], 14,
+                          generator=torch.Generator().manual_seed(6))
+        want = torch_decode(loc, torch.from_numpy(want_priors), [0.1, 0.2])
+        got = decode(jnp.asarray(loc.numpy()), jnp.asarray(got_priors),
+                     (0.1, 0.2))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5,
+                                   rtol=1e-4)
+
+    def test_postprocess_parity(self):
+        """Top-k → NMS → compaction matches the reference's keep loop on
+        identical, well-separated inputs (the full float path through two
+        frameworks reorders near-tied random boxes, so postprocess parity
+        is checked on shared inputs; net/decode parity is covered above)."""
+        from kornia.geometry.bbox import nms as nms_kornia
+        from kornia_tpu.contrib.detection import FaceDetector
+
+        rng = np.random.default_rng(9)
+        n = 64
+        centers = rng.uniform(20, 300, (n, 2)).astype(np.float32)
+        sizes = rng.uniform(10, 60, (n, 2)).astype(np.float32)
+        boxes = np.concatenate(
+            [centers - sizes / 2, centers + sizes / 2,
+             rng.uniform(0, 320, (n, 10)).astype(np.float32)], -1)
+        scores = rng.uniform(0.05, 1.0, n).astype(np.float32)
+
+        # reference keep loop (face_detection.py:185-206)
+        thr = 0.25
+        dets = np.concatenate([boxes, scores[:, None]], -1)
+        dets = dets[scores > thr]
+        order = np.argsort(-dets[:, 14], kind="stable")
+        dets = dets[order]
+        keep = nms_kornia(torch.from_numpy(dets[:, :4]),
+                          torch.from_numpy(dets[:, 14]), 0.4).numpy()
+        want = dets[keep][:8]
+
+        fd = FaceDetector(confidence_threshold=thr, nms_threshold=0.4,
+                          keep_top_k=8)
+        got = np.asarray(fd.postprocess_one(jnp.asarray(boxes),
+                                            jnp.asarray(scores)))
+        m = want.shape[0]
+        np.testing.assert_allclose(got[:m], want, atol=1e-5, rtol=1e-5)
+        assert np.all(got[m:, 14] == 0)
+
+    def test_face_detector_end_to_end(self, ref):
+        """Full net → decode → NMS wrapper runs end-to-end; the top
+        detection matches the torch reference pipeline exactly."""
+        from kornia.contrib.face_detection import FaceDetector as TorchFD
+        from kornia.geometry.bbox import nms as nms_kornia
+        from kornia_tpu.contrib.detection import FaceDetector
+        from kornia_tpu.models.yunet import load_torch_weights
+
+        tfd = TorchFD.__new__(TorchFD)
+        torch.nn.Module.__init__(tfd)
+        tfd.top_k = 5000
+        tfd.confidence_threshold = 0.0  # random logits -> keep everything
+        tfd.nms_threshold = 0.3
+        tfd.keep_top_k = 16
+        tfd.min_sizes = [[10, 16, 24], [32, 48], [64, 96], [128, 192, 256]]
+        tfd.steps = [8, 16, 32, 64]
+        tfd.variance = [0.1, 0.2]
+        tfd.clip = False
+        tfd.model = ref
+        tfd.nms = nms_kornia
+
+        x = torch.rand(1, 3, 160, 160, generator=torch.Generator().manual_seed(8))
+        with torch.no_grad():
+            want = tfd(x)[0].numpy()
+
+        fd = FaceDetector(confidence_threshold=0.0, nms_threshold=0.3,
+                          keep_top_k=16,
+                          params=load_torch_weights(ref.state_dict()))
+        got = fd(jnp.asarray(x.numpy()))[0]
+        data = np.asarray(got.data)
+        assert data.shape == (16, 15)
+        assert (data[:, 14] > 0).any()
+        # top detection survives NMS first in both pipelines
+        np.testing.assert_allclose(data[0], want[0], atol=1e-3, rtol=1e-3)
