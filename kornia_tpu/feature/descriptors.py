@@ -9,7 +9,7 @@ convert by layout only.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,19 +56,99 @@ def _init_conv(key, params, name, cin, cout, k, bias=False, bn=True):
     return key
 
 
-class TFeat:
-    """Shallow 32x32→128 descriptor (reference: feature/tfeat.py)."""
+def _instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """torch InstanceNorm2d(affine=False) on NCHW: per-sample per-channel
+    standardization with biased variance."""
+    mu = jnp.mean(x, axis=(-2, -1), keepdims=True)
+    var = jnp.var(x, axis=(-2, -1), keepdims=True)
+    return (x - mu) * lax.rsqrt(var + eps)
 
-    def __init__(self, params: Optional[Dict] = None):
-        if params is None:
-            params = {}
-            key = jax.random.PRNGKey(0)
-            key = _init_conv(key, params, "c1", 1, 32, 7, bias=True, bn=False)
-            key = _init_conv(key, params, "c2", 32, 64, 6, bias=True, bn=False)
-            key, sub = jax.random.split(key)
-            params["fc_w"] = jax.random.normal(sub, (128, 64 * 8 * 8)) * 0.01
-            params["fc_b"] = jnp.zeros(128)
-        self.params = params
+
+def _lrn_l2(x: jax.Array) -> jax.Array:
+    """torch LocalResponseNorm(2C, alpha=2C, beta=0.5, k=0) on (B, C, 1, 1):
+    the window covers every channel, so it reduces to global L2
+    normalization over the channel axis (reference: sosnet.py desc_norm,
+    hynet.py desc_norm)."""
+    return x * lax.rsqrt(jnp.sum(x * x, axis=1, keepdims=True))
+
+
+def _convert_torch(state_dict, specs) -> Dict[str, jax.Array]:
+    """torch state-dict -> param dict with identical keys; conv weights
+    (O,I,kH,kW) stay OIHW (these nets run tiny 32x32 patches where XLA's
+    layout assignment handles the transpose once at compile time)."""
+    import numpy as np
+
+    params: Dict[str, jax.Array] = {}
+    for k, shape in specs.items():
+        v = state_dict[k]
+        v = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        assert v.shape == tuple(shape), (k, v.shape, shape)
+        params[k] = jnp.asarray(v)
+    return params
+
+
+def _init_from_specs(key, specs) -> Dict[str, jax.Array]:
+    params: Dict[str, jax.Array] = {}
+    for name, shape in specs.items():
+        key, sub = jax.random.split(key)
+        if name.endswith("running_var"):
+            params[name] = jnp.ones(shape)
+        elif name.endswith(".tau"):
+            params[name] = -jnp.ones(shape)
+        elif name.endswith(".eps"):
+            params[name] = jnp.full(shape, 1e-6)
+        elif len(shape) >= 2:  # conv / linear weights
+            fan_in = int(jnp.prod(jnp.asarray(shape[1:])))
+            params[name] = jax.random.normal(sub, shape) * math.sqrt(
+                2.0 / fan_in)
+        elif name.endswith(".weight"):  # norm scales
+            params[name] = jnp.ones(shape)
+        else:
+            params[name] = jnp.zeros(shape)
+    return params
+
+
+def _tconv(p, name, x, stride=1, padding=0):
+    """NCHW conv with torch-layout OIHW weights + optional bias."""
+    w = p[f"{name}.weight"].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x, w, (stride, stride), [(padding, padding), (padding, padding)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    b = p.get(f"{name}.bias")
+    return y if b is None else y + b.astype(x.dtype).reshape(1, -1, 1, 1)
+
+
+def _tbn(p, name, x, affine=True):
+    mean = p[f"{name}.running_mean"].astype(x.dtype).reshape(1, -1, 1, 1)
+    var = p[f"{name}.running_var"].astype(x.dtype).reshape(1, -1, 1, 1)
+    y = (x - mean) * lax.rsqrt(var + 1e-5)
+    if affine:
+        y = y * p[f"{name}.weight"].astype(x.dtype).reshape(1, -1, 1, 1) \
+            + p[f"{name}.bias"].astype(x.dtype).reshape(1, -1, 1, 1)
+    return y
+
+
+class TFeat:
+    """Exact TFeat descriptor (reference: feature/tfeat.py:31-87):
+    InstanceNorm → conv7 → tanh → maxpool2 → conv6 → tanh → linear → tanh.
+    (B, 1, 32, 32) → (B, 128); torch checkpoints load via
+    `TFeat.from_torch`."""
+
+    patch_size = 32
+    _SPECS = {
+        "features.1.weight": (32, 1, 7, 7), "features.1.bias": (32,),
+        "features.4.weight": (64, 32, 6, 6), "features.4.bias": (64,),
+        "descr.0.weight": (128, 64 * 8 * 8), "descr.0.bias": (128,),
+    }
+
+    def __init__(self, params: Optional[Dict] = None,
+                 key: Optional[jax.Array] = None):
+        self.params = params if params is not None else _init_from_specs(
+            key if key is not None else jax.random.PRNGKey(0), self._SPECS)
+
+    @classmethod
+    def from_torch(cls, state_dict) -> "TFeat":
+        return cls(_convert_torch(state_dict, cls._SPECS))
 
     def __call__(self, patches: jax.Array) -> jax.Array:
         x = as_float(patches)
@@ -76,60 +156,143 @@ class TFeat:
             from ..ops.warp import resize
             x = resize(x, (32, 32))
         p = self.params
-        x = jnp.tanh(_conv(p, "c1", x, stride=1, padding=0))
+        x = _instance_norm(x)
+        x = jnp.tanh(_tconv(p, "features.1", x))
         x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 2, 2),
                               (1, 1, 2, 2), "VALID")
-        x = jnp.tanh(_conv(p, "c2", x, stride=1, padding=0))
+        x = jnp.tanh(_tconv(p, "features.4", x))
         x = x.reshape(x.shape[0], -1)
-        x = jnp.tanh(x @ p["fc_w"].T + p["fc_b"])
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+        return jnp.tanh(x @ p["descr.0.weight"].T.astype(x.dtype)
+                        + p["descr.0.bias"].astype(x.dtype))
 
 
-_SOS_ARCH = [(32, 1, 1), (32, 1, 1), (64, 2, 1), (64, 1, 1), (128, 2, 1),
-             (128, 1, 1)]
+# (conv layer idx, bn layer idx, out, stride)
+_SOS_LAYERS = ((1, 2, 32, 1), (4, 5, 32, 1), (7, 8, 64, 2), (10, 11, 64, 1),
+               (13, 14, 128, 2), (16, 17, 128, 1))
 
 
 class SOSNet:
-    """HardNet-topology descriptor trained with SOS regularization
-    (reference: feature/sosnet.py) — same forward as HardNet."""
+    """Exact SOSNet descriptor (reference: feature/sosnet.py:30-98):
+    InstanceNorm → 6×(conv3 → BN(no affine) → ReLU) → conv8 → BN →
+    LRN-as-L2. (B, 1, 32, 32) → (B, 128); `SOSNet.from_torch` for
+    checkpoints."""
 
-    def __init__(self, params: Optional[Dict] = None):
-        if params is None:
-            params = {}
-            key = jax.random.PRNGKey(1)
-            cin = 1
-            for i, (cout, s, p_) in enumerate(_SOS_ARCH):
-                key = _init_conv(key, params, f"c{i}", cin, cout, 3)
-                cin = cout
-            key = _init_conv(key, params, "c6", 128, 128, 8)
-        self.params = params
+    patch_size = 32
+
+    @classmethod
+    def _specs(cls) -> Dict[str, Tuple[int, ...]]:
+        specs: Dict[str, Tuple[int, ...]] = {}
+        cin = 1
+        for ci, bi, cout, _s in _SOS_LAYERS:
+            specs[f"layers.{ci}.weight"] = (cout, cin, 3, 3)
+            specs[f"layers.{bi}.running_mean"] = (cout,)
+            specs[f"layers.{bi}.running_var"] = (cout,)
+            cin = cout
+        specs["layers.20.weight"] = (128, 128, 8, 8)
+        specs["layers.21.running_mean"] = (128,)
+        specs["layers.21.running_var"] = (128,)
+        return specs
+
+    def __init__(self, params: Optional[Dict] = None,
+                 key: Optional[jax.Array] = None):
+        self.params = params if params is not None else _init_from_specs(
+            key if key is not None else jax.random.PRNGKey(1), self._specs())
+
+    @classmethod
+    def from_torch(cls, state_dict) -> "SOSNet":
+        return cls(_convert_torch(state_dict, cls._specs()))
+
+    def __call__(self, patches: jax.Array, eps: float = 1e-10) -> jax.Array:
+        x = as_float(patches)
+        if x.shape[-1] != 32:
+            from ..ops.warp import resize
+            x = resize(x, (32, 32))
+        p = self.params
+        x = _instance_norm(x)
+        for ci, bi, _cout, s in _SOS_LAYERS:
+            x = jax.nn.relu(_tbn(p, f"layers.{bi}",
+                                 _tconv(p, f"layers.{ci}", x, s, 1),
+                                 affine=False))
+        x = _tbn(p, "layers.21", _tconv(p, "layers.20", x), affine=False)
+        return _lrn_l2(x + eps).reshape(x.shape[0], -1)
+
+
+def _frn(p, name, x):
+    """FilterResponseNorm2d (reference: hynet.py:30-127):
+    x·rsqrt(E[x²]_HW + |eps|)·w + b."""
+    nu2 = jnp.mean(x * x, axis=(-2, -1), keepdims=True)
+    y = x * lax.rsqrt(nu2 + jnp.abs(p[f"{name}.eps"]).astype(x.dtype))
+    return y * p[f"{name}.weight"].astype(x.dtype) \
+        + p[f"{name}.bias"].astype(x.dtype)
+
+
+def _tlu(p, name, x):
+    """TLU: max(x, tau) with learnable per-channel tau (hynet.py:130-185)."""
+    return jnp.maximum(x, p[f"{name}.tau"].astype(x.dtype))
+
+
+# layerN -> (conv idx within the Sequential, cin, cout, stride)
+_HYNET_LAYERS = (("layer2", 0, 32, 32, 1), ("layer3", 0, 32, 64, 2),
+                 ("layer4", 0, 64, 64, 1), ("layer5", 0, 64, 128, 2),
+                 ("layer6", 0, 128, 128, 1))
+
+
+class HyNet:
+    """Exact HyNet descriptor (reference: feature/hynet.py:188-302):
+    FRN/TLU-normalized conv stack → conv8 → BN → LRN-as-L2.
+    (B, 1, 32, 32) → (B, 128); `HyNet.from_torch` for checkpoints."""
+
+    patch_size = 32
+
+    @classmethod
+    def _specs(cls) -> Dict[str, Tuple[int, ...]]:
+        def frn(prefix: str, ch: int, specs) -> None:
+            specs[f"{prefix}.weight"] = (1, ch, 1, 1)
+            specs[f"{prefix}.bias"] = (1, ch, 1, 1)
+            specs[f"{prefix}.eps"] = (1,)
+
+        specs: Dict[str, Tuple[int, ...]] = {}
+        frn("layer1.0", 1, specs)
+        specs["layer1.1.tau"] = (1, 1, 1, 1)
+        specs["layer1.2.weight"] = (32, 1, 3, 3)
+        specs["layer1.2.bias"] = (32,)
+        frn("layer1.3", 32, specs)
+        specs["layer1.4.tau"] = (1, 32, 1, 1)
+        for name, ci, cin, cout, _s in _HYNET_LAYERS:
+            specs[f"{name}.{ci}.weight"] = (cout, cin, 3, 3)
+            specs[f"{name}.{ci}.bias"] = (cout,)
+            frn(f"{name}.{ci + 1}", cout, specs)
+            specs[f"{name}.{ci + 2}.tau"] = (1, cout, 1, 1)
+        specs["layer7.1.weight"] = (128, 128, 8, 8)
+        specs["layer7.2.running_mean"] = (128,)
+        specs["layer7.2.running_var"] = (128,)
+        return specs
+
+    def __init__(self, params: Optional[Dict] = None,
+                 key: Optional[jax.Array] = None,
+                 eps_l2_norm: float = 1e-10):
+        self.eps_l2_norm = eps_l2_norm
+        self.params = params if params is not None else _init_from_specs(
+            key if key is not None else jax.random.PRNGKey(2), self._specs())
+
+    @classmethod
+    def from_torch(cls, state_dict) -> "HyNet":
+        return cls(_convert_torch(state_dict, cls._specs()))
 
     def __call__(self, patches: jax.Array) -> jax.Array:
         x = as_float(patches)
         if x.shape[-1] != 32:
             from ..ops.warp import resize
             x = resize(x, (32, 32))
-        mu = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-        sd = jnp.std(x, axis=(1, 2, 3), keepdims=True)
-        x = (x - mu) / (sd + 1e-7)
         p = self.params
-        for i, (cout, s, pad) in enumerate(_SOS_ARCH):
-            x = jax.nn.relu(_bn(p, f"c{i}", _conv(p, f"c{i}", x, s, pad)))
-        x = _bn(p, "c6", _conv(p, "c6", x, 1, 0))
-        x = x.reshape(x.shape[0], -1)
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
-
-
-class HyNet(SOSNet):
-    """(reference: feature/hynet.py:302) — HardNet topology with FRN-style
-    normalization approximated by BN in inference; weight port maps FRN
-    scale/bias into the affine BN slots."""
-
-    def __init__(self, params: Optional[Dict] = None):
-        if params is None:
-            super().__init__(None)
-        else:
-            self.params = params
+        x = _tlu(p, "layer1.1", _frn(p, "layer1.0", x))
+        x = _tlu(p, "layer1.4",
+                 _frn(p, "layer1.3", _tconv(p, "layer1.2", x, 1, 1)))
+        for name, ci, _cin, _cout, s in _HYNET_LAYERS:
+            x = _tconv(p, f"{name}.{ci}", x, s, 1)
+            x = _tlu(p, f"{name}.{ci + 2}", _frn(p, f"{name}.{ci + 1}", x))
+        x = _tbn(p, "layer7.2", _tconv(p, "layer7.1", x), affine=False)
+        return _lrn_l2(x + self.eps_l2_norm).reshape(x.shape[0], -1)
 
 
 class MKDGradientDescriptor:
@@ -236,44 +399,90 @@ class LAFAffineShapeEstimator:
 
 
 class KeyNet:
-    """Learned keypoint response (reference: feature/keynet.py:227):
-    handcrafted gradient features + small conv stack → response map."""
+    """Exact Key.Net response network (reference: feature/keynet.py:133-181):
+    per pyramid level (pyrdown ×1.2, `num_levels` levels) run a handcrafted
+    gradient block (10 features from iterated sobel, keynet.py:74-93) and a
+    learnable block (3×(conv5 → BN → ReLU), keynet.py:96-131), upsample all
+    levels to the input size, concat, and apply a final conv5 → ReLU.
 
-    def __init__(self, params: Optional[Dict] = None, num_filters: int = 8,
-                 num_levels: int = 3):
+    (B, 1, H, W) → (B, 1, H, W); `KeyNet.from_torch` loads the published
+    checkpoint's ``state_dict``."""
+
+    def __init__(self, params: Optional[Dict] = None,
+                 key: Optional[jax.Array] = None, num_filters: int = 8,
+                 num_levels: int = 3, kernel_size: int = 5):
         self.num_filters = num_filters
         self.num_levels = num_levels
-        if params is None:
-            params = {}
-            key = jax.random.PRNGKey(3)
-            cin = 10  # handcrafted feature channels
-            for i in range(num_levels):
-                key = _init_conv(key, params, f"c{i}", cin, num_filters, 5)
-                cin = num_filters
-            key = _init_conv(key, params, "out", num_filters, 1, 5, bias=True,
-                             bn=False)
-        self.params = params
+        self.kernel_size = kernel_size
+        self.params = params if params is not None else _init_from_specs(
+            key if key is not None else jax.random.PRNGKey(3),
+            self._specs(num_filters, num_levels, kernel_size))
+
+    @staticmethod
+    def _specs(num_filters: int = 8, num_levels: int = 3,
+               kernel_size: int = 5) -> Dict[str, Tuple[int, ...]]:
+        specs: Dict[str, Tuple[int, ...]] = {}
+        cin = 10
+        for i in range(3):
+            pre = f"feature_extractor.lb_block.conv{i}"
+            specs[f"{pre}.0.weight"] = (num_filters, cin, kernel_size,
+                                        kernel_size)
+            specs[f"{pre}.0.bias"] = (num_filters,)
+            for suffix in ("weight", "bias", "running_mean", "running_var"):
+                specs[f"{pre}.1.{suffix}"] = (num_filters,)
+            cin = num_filters
+        specs["last_conv.0.weight"] = (1, num_filters * num_levels,
+                                       kernel_size, kernel_size)
+        specs["last_conv.0.bias"] = (1,)
+        return specs
+
+    @classmethod
+    def from_torch(cls, state_dict, num_filters: int = 8,
+                   num_levels: int = 3, kernel_size: int = 5) -> "KeyNet":
+        return cls(_convert_torch(
+            state_dict, cls._specs(num_filters, num_levels, kernel_size)),
+            num_filters=num_filters, num_levels=num_levels,
+            kernel_size=kernel_size)
 
     def _handcrafted(self, x: jax.Array) -> jax.Array:
         g = spatial_gradient(x, "sobel", 1)
-        gx, gy = g[:, :, 0], g[:, :, 1]
-        g2 = spatial_gradient(x, "sobel", 2)
-        gxx, gxy, gyy = g2[:, :, 0], g2[:, :, 1], g2[:, :, 2]
-        feats = [gx, gy, gx * gy, gx * gx, gy * gy, gxx, gyy, gxy,
-                 gxx * gyy, gx * gx * gy * gy]
-        return jnp.concatenate(feats, axis=1)
+        dx, dy = g[:, :, 0], g[:, :, 1]
+        gx2 = spatial_gradient(dx, "sobel", 1)
+        dxx, dxy = gx2[:, :, 0], gx2[:, :, 1]
+        dyy = spatial_gradient(dy, "sobel", 1)[:, :, 1]
+        return jnp.concatenate(
+            [dx, dy, dx * dx, dy * dy, dx * dy, dxy, dxy * dxy, dxx, dyy,
+             dxx * dyy], axis=1)
+
+    def _extract(self, x: jax.Array) -> jax.Array:
+        h = self._handcrafted(x)
+        pad = self.kernel_size // 2
+        for i in range(3):
+            pre = f"feature_extractor.lb_block.conv{i}"
+            h = jax.nn.relu(_tbn(self.params, f"{pre}.1",
+                                 _tconv(self.params, f"{pre}.0", h, 1, pad)))
+        return h
 
     def __call__(self, x: jax.Array, sigmas=None) -> jax.Array:
+        from ..ops.pyramid import pyrdown
+        from ..ops.warp import resize
         x = as_float(x)
-        h = self._handcrafted(x)
-        p = self.params
-        for i in range(self.num_levels):
-            h = jax.nn.relu(_bn(p, f"c{i}", _conv(p, f"c{i}", h, 1, 2)))
-        out = _conv(p, "out", h, 1, 2)
+        H, W = x.shape[-2:]
+        feats = [self._extract(x)]
+        for _ in range(1, self.num_levels):
+            x = pyrdown(x, factor=1.2)
+            feats.append(resize(self._extract(x), (H, W), "bilinear",
+                                align_corners=False))
+        h = jnp.concatenate(feats, axis=1)
+        out = jax.nn.relu(_tconv(self.params, "last_conv.0", h, 1,
+                                 self.kernel_size // 2))
         if sigmas is not None:
+            # scale normalization for use inside ScaleSpaceDetector (our
+            # responses.py convention); the reference uses KeyNet through
+            # MultiResolutionDetector which skips this
             s = jnp.reshape(sigmas, (-1, 1, 1, 1))
             out = out * (s * s)
-        return jax.nn.relu(out)
+        return out
 
 
 class DiscreteSteerer:

@@ -21,12 +21,16 @@ def patches(key):
 
 
 class TestDescriptors:
-    @pytest.mark.parametrize("cls", [TFeat, SOSNet, HyNet,
-                                     MKDGradientDescriptor])
+    @pytest.mark.parametrize("cls", [SOSNet, HyNet, MKDGradientDescriptor])
     def test_shape_and_norm(self, patches, cls):
         d = cls()(patches)
         assert d.shape == (4, 128)
         np.testing.assert_allclose(jnp.linalg.norm(d, axis=-1), 1.0, atol=1e-3)
+
+    def test_tfeat_shape_and_range(self, patches):
+        d = TFeat()(patches)
+        assert d.shape == (4, 128)
+        assert float(jnp.abs(d).max()) <= 1.0  # tanh output, not L2-normed
 
     def test_distinct_patches_distinct_descs(self, patches):
         d = SOSNet()(patches)
