@@ -102,13 +102,14 @@ class TestLearnedModels:
 
     def test_disk(self, key):
         from kornia_tpu.feature.disk import DISK
-        disk = DISK(desc_dim=16)
+        disk = DISK()
         feats = disk(jax.random.uniform(key, (1, 3, 32, 32)), n=16)
         assert feats.keypoints.shape == (1, 16, 2)
-        assert feats.descriptors.shape == (1, 16, 16)
-        # descriptors normalized
+        assert feats.descriptors.shape == (1, 16, 128)
+        # valid descriptors normalized
         n = jnp.linalg.norm(feats.descriptors, axis=-1)
-        np.testing.assert_allclose(n, 1.0, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(n)[np.asarray(feats.valid)],
+                                   1.0, atol=1e-3)
 
     def test_vit(self, key):
         from kornia_tpu.models.vit import ViTConfig, VisionTransformer
