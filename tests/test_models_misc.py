@@ -93,7 +93,7 @@ class TestLearnedModels:
     def test_lightglue_shapes(self, key):
         from kornia_tpu.feature.lightglue import LightGlue, LightGlueConfig
         kp = jax.random.uniform(key, (1, 16, 2)) * 64
-        d = jax.random.normal(key, (1, 16, 128))
+        d = jax.random.normal(key, (1, 16, 64))
         lg = LightGlue(LightGlueConfig(dim=64, num_heads=4, num_layers=2))
         out = lg({"keypoints0": kp, "keypoints1": kp, "descriptors0": d,
                   "descriptors1": d, "image_size": (64.0, 64.0)})
