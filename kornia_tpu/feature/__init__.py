@@ -19,16 +19,22 @@ from .descriptors import (
     SOSNet,
     TFeat,
 )
+from .affnet import AffNet, LAFAffNetShapeEstimator, OriNet
 from .detector import ScaleSpaceDetector, detect_features_single_scale
 from .hardnet import HardNet
 from .integrated import (
     GFTTAffNetHardNet,
     GFTTSIFTFeature,
+    HesAffNetHardNet,
+    KeyNetAffNetHardNet,
+    KeyNetHardNet,
     LAFDescriptor,
     LocalFeature,
     LocalFeatureMatcher,
     SIFTFeature,
+    SIFTFeatureScaleSpace,
 )
+from .multires_detector import KeyNetDetector, MultiResolutionDetector
 from .laf import *  # noqa: F401,F403
 from .matching import (
     DescriptorMatcher,
@@ -43,7 +49,7 @@ from .adalam import adalam_filter
 from .disk import DISK, DISKFeatures
 from .lightglue import LightGlue, LightGlueConfig
 from .loftr import LoFTR, LoFTRConfig
-from .orientation import LAFOrienter, patch_dominant_gradient_orientation
+from .orientation import LAFOrienter, PassLAF, patch_dominant_gradient_orientation
 from .xfeat import XFeat
 from .sold2 import SOLD2, SOLD2_detector, SOLD2Net
 from .dedode import DeDoDe, DeDoDeDescriptor, DeDoDeDetector

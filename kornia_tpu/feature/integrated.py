@@ -23,7 +23,9 @@ from .responses import dog_response, gftt_response, harris_response, hessian_res
 from .siftdesc import SIFTDescriptor
 
 __all__ = ["LAFDescriptor", "LocalFeature", "SIFTFeature",
-           "GFTTAffNetHardNet", "LocalFeatureMatcher"]
+           "SIFTFeatureScaleSpace", "GFTTAffNetHardNet",
+           "HesAffNetHardNet", "KeyNetHardNet", "KeyNetAffNetHardNet",
+           "LocalFeatureMatcher"]
 
 
 class LAFDescriptor:
@@ -48,13 +50,19 @@ class LAFDescriptor:
 
 
 class LocalFeature:
-    """detector + descriptor pipeline (reference: integrated.py:137)."""
+    """detector + descriptor pipeline (reference: integrated.py:137).
+    Order matches the reference detectors: detect → affine shape →
+    orientation → describe; `scale_laf` multiplies LAF scales before
+    description (reference: integrated.py:150-171)."""
 
     def __init__(self, detector, descriptor: LAFDescriptor,
-                 orienter: Optional[LAFOrienter] = None):
+                 orienter: Optional[LAFOrienter] = None,
+                 aff_module=None, scale_laf_coef: float = 1.0):
         self.detector = detector
         self.descriptor = descriptor
         self.orienter = orienter
+        self.aff_module = aff_module
+        self.scale_laf_coef = scale_laf_coef
 
     def __call__(self, img: jax.Array
                  ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -65,8 +73,13 @@ class LocalFeature:
             from ..ops.color import rgb_to_grayscale
             gray = rgb_to_grayscale(img)
         lafs, resps, valid = self.detector(gray)
+        if self.aff_module is not None:
+            lafs = self.aff_module(lafs, gray)
         if self.orienter is not None:
             lafs = self.orienter(lafs, gray)
+        if self.scale_laf_coef != 1.0:
+            from .laf import scale_laf
+            lafs = scale_laf(lafs, self.scale_laf_coef)
         descs = self.descriptor(gray, lafs)
         return lafs, resps, descs, valid
 
@@ -115,18 +128,112 @@ class GFTTSIFTFeature(LocalFeature):
         super().__init__(detector, LAFDescriptor(desc, 41), LAFOrienter(19))
 
 
-class GFTTAffNetHardNet(LocalFeature):
-    """GFTT corners + HardNet descriptors (reference: integrated.py:251).
-    Uses random-init HardNet until torch weights are ported; for
-    deterministic accuracy tests use SIFTFeature."""
+class SIFTFeatureScaleSpace(LocalFeature):
+    """DoG over a blur pyramid + (Root)SIFT
+    (reference: integrated.py:215 SIFTFeatureScaleSpace)."""
 
-    def __init__(self, num_features: int = 500,
-                 params: Optional[dict] = None):
+    def __init__(self, num_features: int = 500, upright: bool = False,
+                 rootsift: bool = True):
+        from ..ops.pyramid import ScalePyramid
+        detector = ScaleSpaceDetector(
+            num_features, resp="dog",
+            scale_pyr=ScalePyramid(3, 1.6, 32, double_image=True),
+            nms_size=3, minima_are_also_good=True, mr_size=6.0)
+        desc = SIFTDescriptor(patch_size=41, rootsift=rootsift)
+        super().__init__(detector, LAFDescriptor(desc, 41),
+                         None if upright else LAFOrienter(19))
+
+
+class GFTTAffNetHardNet(LocalFeature):
+    """GFTT corners + AffNet shape + HardNet descriptors
+    (reference: integrated.py:251). Random-init AffNet/HardNet until
+    torch weights are ported (`AffNet.from_torch` /
+    `hardnet.load_torch_weights`); for deterministic accuracy tests use
+    SIFTFeature."""
+
+    def __init__(self, num_features: int = 500, upright: bool = False,
+                 params: Optional[dict] = None,
+                 affnet_params: Optional[dict] = None):
+        from .affnet import LAFAffNetShapeEstimator
         from .hardnet import HardNet
-        detector = ScaleSpaceDetector(num_features, resp=gftt_response,
-                                      mr_size=6.0)
+        from ..ops.pyramid import ScalePyramid
+        detector = ScaleSpaceDetector(
+            num_features, resp=gftt_response,
+            scale_pyr=ScalePyramid(3, 1.6, 32, double_image=True),
+            mr_size=6.0)
         hn = HardNet(params)
-        super().__init__(detector, LAFDescriptor(hn, 32), LAFOrienter(19))
+        super().__init__(
+            detector, LAFDescriptor(hn, 32),
+            None if upright else LAFOrienter(19),
+            aff_module=LAFAffNetShapeEstimator(
+                affnet_params, preserve_orientation=False))
+
+
+class HesAffNetHardNet(LocalFeature):
+    """Hessian blobs + AffNet shape + HardNet descriptors
+    (reference: integrated.py:280 HesAffNetHardNet)."""
+
+    def __init__(self, num_features: int = 500, upright: bool = False,
+                 params: Optional[dict] = None,
+                 affnet_params: Optional[dict] = None):
+        from .affnet import LAFAffNetShapeEstimator
+        from .hardnet import HardNet
+        from ..ops.pyramid import ScalePyramid
+        detector = ScaleSpaceDetector(
+            num_features, resp=hessian_response,
+            scale_pyr=ScalePyramid(3, 1.6, 32, double_image=True),
+            mr_size=6.0)
+        hn = HardNet(params)
+        super().__init__(
+            detector, LAFDescriptor(hn, 32),
+            None if upright else LAFOrienter(19),
+            aff_module=LAFAffNetShapeEstimator(
+                affnet_params, preserve_orientation=False))
+
+
+class KeyNetHardNet(LocalFeature):
+    """KeyNet multi-resolution detector + OriNet orientation + HardNet
+    (reference: integrated.py:305 KeyNetHardNet)."""
+
+    def __init__(self, num_features: int = 2048, upright: bool = False,
+                 scale_laf_coef: float = 1.0,
+                 keynet_params: Optional[dict] = None,
+                 orinet_params: Optional[dict] = None,
+                 hardnet_params: Optional[dict] = None):
+        from .affnet import OriNet
+        from .hardnet import HardNet
+        from .multires_detector import KeyNetDetector
+        ori = None if upright else LAFOrienter(
+            angle_detector=OriNet(orinet_params))
+        detector = KeyNetDetector(keynet_params, num_features,
+                                  ori_module=ori)
+        super().__init__(detector, LAFDescriptor(HardNet(hardnet_params),
+                                                 32),
+                         scale_laf_coef=scale_laf_coef)
+
+
+class KeyNetAffNetHardNet(LocalFeature):
+    """KeyNet detector + AffNet shape + OriNet orientation + HardNet
+    (reference: integrated.py:331 KeyNetAffNetHardNet)."""
+
+    def __init__(self, num_features: int = 2048, upright: bool = False,
+                 scale_laf_coef: float = 1.0,
+                 keynet_params: Optional[dict] = None,
+                 orinet_params: Optional[dict] = None,
+                 affnet_params: Optional[dict] = None,
+                 hardnet_params: Optional[dict] = None):
+        from .affnet import LAFAffNetShapeEstimator, OriNet
+        from .hardnet import HardNet
+        from .multires_detector import KeyNetDetector
+        ori = None if upright else LAFOrienter(
+            angle_detector=OriNet(orinet_params))
+        detector = KeyNetDetector(
+            keynet_params, num_features, ori_module=ori,
+            aff_module=LAFAffNetShapeEstimator(
+                affnet_params, preserve_orientation=False))
+        super().__init__(detector, LAFDescriptor(HardNet(hardnet_params),
+                                                 32),
+                         scale_laf_coef=scale_laf_coef)
 
 
 class LocalFeatureMatcher:

@@ -43,8 +43,9 @@ __all__ = [
 def get_laf_scale(laf: jax.Array) -> jax.Array:
     """(B, N, 2, 3) → (B, N, 1, 1) sqrt|det A| (reference: laf.py:45)."""
     check_laf(laf)
-    d = jnp.abs(det_2x2(laf[..., :2, :2]))
-    return jnp.sqrt(d + 1e-10)[..., None, None]
+    # eps is added to the SIGNED det before abs (reference: laf.py:46)
+    d = jnp.abs(det_2x2(laf[..., :2, :2]) + 1e-10)
+    return jnp.sqrt(d)[..., None, None]
 
 
 def set_laf_scale(laf: jax.Array, scale: jax.Array) -> jax.Array:
@@ -116,19 +117,20 @@ def make_upright(laf: jax.Array, eps: float = 1e-9) -> jax.Array:
     Via Cholesky-like decomposition of A Aᵀ (lower-triangular sqrt)."""
     check_laf(laf)
     A = laf[..., :2, :2]
-    det = jnp.sqrt(jnp.abs(det_2x2(A)) + eps)[..., None, None]
-    # C = A Aᵀ; upright frame is chol(C) (lower triangular, positive diag)
-    C = A @ jnp.swapaxes(A, -1, -2)
-    a = C[..., 0, 0]
-    b = C[..., 0, 1]
-    d = C[..., 1, 1]
-    l11 = jnp.sqrt(jnp.maximum(a, eps))
-    l21 = b / l11
-    l22 = jnp.sqrt(jnp.maximum(d - l21 * l21, eps))
+    det = get_laf_scale(laf)[..., 0, 0]  # (B, N)
+    # Cholesky of A Aᵀ written the reference's way (laf.py:200-214):
+    # l22 = det/b2a2 (not sqrt(C11 - l21²), which cancels catastrophically
+    # for near-singular A and is what degenerate AffNet outputs produce).
+    a00, a01 = A[..., 0, 0], A[..., 0, 1]
+    a10, a11 = A[..., 1, 0], A[..., 1, 1]
+    b2a2 = jnp.sqrt(a01 * a01 + a00 * a00) + eps
+    l11 = b2a2 / det
+    l21 = (a11 * a01 + a10 * a00) / (b2a2 * det)
+    l22 = det / b2a2
     zeros = jnp.zeros_like(l11)
     L = jnp.stack(
         [jnp.stack([l11, zeros], -1), jnp.stack([l21, l22], -1)], axis=-2
-    )
+    ) * det[..., None, None]
     return jnp.concatenate([L, laf[..., :2, 2:]], axis=-1)
 
 
@@ -217,11 +219,17 @@ def perspective_transform_lafs(trans: jax.Array, lafs: jax.Array) -> jax.Array:
 
 def generate_patch_grid_from_normalized_laf(img: jax.Array, laf: jax.Array,
                                             PS: int = 32) -> jax.Array:
-    """Sampling grid for each LAF (B, N, PS, PS, 2) in [-1, 1] coords."""
+    """Sampling grid for each LAF (B, N, PS, PS, 2) in [-1, 1] coords.
+
+    Matches the reference exactly (laf.py:379): the base grid is torch's
+    ``affine_grid(align_corners=False)`` grid — pixel-centre spacing, i.e.
+    linspace(-1, 1, PS) * (PS-1)/PS — mapped through the pixel-unit LAF and
+    renormalized with the align-corners-TRUE formula 2*p/(size-1) - 1 (the
+    reference then samples this grid with align_corners=False; that mixed
+    convention is part of its observable behaviour)."""
     B, N = laf.shape[:2]
     H, W = img.shape[-2:]
-    # unit grid in LAF frame: [-1, 1]² maps through A to pixel offsets
-    t = jnp.linspace(-1.0, 1.0, PS, dtype=laf.dtype)
+    t = jnp.linspace(-1.0, 1.0, PS, dtype=laf.dtype) * ((PS - 1) / PS)
     gy, gx = jnp.meshgrid(t, t, indexing="ij")
     grid = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (PS, PS, 3)
     pix = jnp.einsum("bnij,pqj->bnpqi", laf, grid)  # (B, N, PS, PS, 2) pixels
@@ -241,7 +249,7 @@ def extract_patches_simple(img: jax.Array, laf: jax.Array, PS: int = 32,
     C = img.shape[1]
     grid = generate_patch_grid_from_normalized_laf(img, laf, PS)
     grid_flat = grid.reshape(B, N * PS, PS, 2)
-    out = grid_sample(img, grid_flat, "bilinear", "border", True)
+    out = grid_sample(img, grid_flat, "bilinear", "border", False)
     return out.reshape(B, C, N, PS, PS).transpose(0, 2, 1, 3, 4)
 
 
@@ -258,25 +266,35 @@ def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
     B, N = laf.shape[:2]
     C, H, W = img.shape[1:]
     scale = get_laf_scale(laf)[..., 0, 0]  # (B, N) in pixels (radius)
-    # pyramid with halving sizes
-    import math
-    n_levels = max(1, int(math.log2(max(min(H, W) // max(PS, 8), 1))) + 1)
+    # level bookkeeping matches the reference exactly (laf.py:475-505):
+    # pyr_idx = clamp(log2(2*scale/PS), 0, max_level-1), with the pyramid
+    # construction stopping early once a level is smaller than PS (LAFs
+    # indexed past the stop keep zero patches, as in the reference).
+    max_level = min(H, W) // PS
+    num_levels = max(1, max_level)
     levels = [img]
     from ..ops.pyramid import pyrdown
-    for _ in range(n_levels - 1):
-        levels.append(pyrdown(levels[-1]))
-    # per-keypoint level: scale/PS halving
+    for _ in range(num_levels - 1):
+        nxt = pyrdown(levels[-1])
+        if min(nxt.shape[-2:]) < PS:
+            break
+        levels.append(nxt)
     lvl = jnp.floor(jnp.log2(jnp.maximum(2.0 * scale / PS, 1e-6)))
-    lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)  # (B, N)
+    lvl = jnp.clip(lvl, 0, max(0, max_level - 1)).astype(jnp.int32)  # (B, N)
     # per-level extraction + where-select: a stacked take_along_axis over
     # (Lv, B, N, C, PS, PS) lowers to a catastrophic scalar gather on TPU
     # (~100x slower and minutes of compile); elementwise selects are free
-    out = None
+    out = jnp.zeros((B, N, C, PS, PS), img.dtype)
     for li, limg in enumerate(levels):
-        sc = 0.5**li
+        h_l, w_l = limg.shape[-2:]
+        # normalize wrt the full image, denormalize wrt the level — the
+        # linear part scales by min-size ratio, the centre per-axis
+        sc_a = min(h_l, w_l) / min(H, W)
         laf_l = jnp.concatenate(
-            [laf[..., :2, :2] * sc, laf[..., :2, 2:] * sc], axis=-1)
+            [laf[..., :2, :2] * sc_a,
+             laf[..., :2, 2:] * jnp.asarray([w_l / W, h_l / H],
+                                            laf.dtype)[:, None]], axis=-1)
         patches = extract_patches_simple(limg, laf_l, PS)
         m = (lvl == li)[..., None, None, None]
-        out = patches if out is None else jnp.where(m, patches, out)
+        out = jnp.where(m, patches, out)
     return out

@@ -8,7 +8,7 @@ import types
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # append: /root/reference/tests must not shadow our tests/ package
 sys.modules.setdefault("kornia_rs", types.ModuleType("kornia_rs"))
 
 torch = pytest.importorskip("torch")
