@@ -309,3 +309,14 @@ def hausdorff_distance_loss(pred: jax.Array, target: jax.Array,
         dist = dt_gt**k + dt_pr**k
         losses.append(jnp.mean(err * dist, axis=(1, 2, 3)))
     return _reduce(jnp.stack(losses, -1), reduction)
+
+
+def ssim3d_loss(img1: jax.Array, img2: jax.Array, window_size: int = 11,
+                max_val: float = 1.0, eps: float = 1e-12,
+                reduction: str = "mean") -> jax.Array:
+    """(1 - SSIM3D)/2 (reference: losses/ssim3d.py ssim3d_loss)."""
+    return _reduce((1.0 - ssim3d(img1, img2, window_size, max_val, eps)) / 2.0,
+                   reduction)
+
+
+__all__ += ["ssim3d_loss"]

@@ -31,8 +31,10 @@ __all__ = [
     "rgb_to_ycbcr", "ycbcr_to_rgb",
     "rgb_to_yuv", "yuv_to_rgb",
     "rgb_to_yuv420", "yuv420_to_rgb", "rgb_to_yuv422", "yuv422_to_rgb",
-    "rgb_to_raw", "raw_to_rgb",
-    "sepia",
+    "rgb_to_raw", "raw_to_rgb", "raw_to_rgb_2x2_downscaled", "CFA",
+    "rgb_to_y", "rgb_to_rgb255", "rgb255_to_rgb",
+    "normals_to_rgb255", "rgb255_to_normals",
+    "sepia", "sepia_from_rgb",
     "apply_colormap",
 ]
 
@@ -354,11 +356,28 @@ def yuv422_to_rgb(y: jax.Array, uv: jax.Array) -> jax.Array:
     return yuv_to_rgb(jnp.concatenate([y, uv_full], axis=-3))
 
 
+import enum
+
+
+class CFA(enum.Enum):
+    """Bayer color-filter-array layouts, OpenCV naming (reference:
+    color/raw.py:30 — ``BG`` means pixel (1,1) is blue)."""
+
+    BG = 0
+    GB = 1
+    RG = 2
+    GR = 3
+
+
 # CFA layouts: position of (R, Gr, Gb, B) in each 2x2 Bayer cell
 _CFA = {"BG": ((0, 0), (0, 1), (1, 0), (1, 1)),
         "GB": ((0, 1), (0, 0), (1, 1), (1, 0)),
         "RG": ((1, 1), (1, 0), (0, 1), (0, 0)),
         "GR": ((1, 0), (1, 1), (0, 0), (0, 1))}
+
+
+def _cfa_key(cfa) -> str:
+    return cfa.name if isinstance(cfa, CFA) else str(cfa)
 
 
 def rgb_to_raw(image: jax.Array, cfa: str = "BG") -> jax.Array:
@@ -368,7 +387,7 @@ def rgb_to_raw(image: jax.Array, cfa: str = "BG") -> jax.Array:
     H, W = image.shape[-2:]
     ry = jnp.arange(H)[:, None] % 2
     rx = jnp.arange(W)[None, :] % 2
-    (r_p, gr_p, gb_p, b_p) = _CFA[cfa]
+    (r_p, gr_p, gb_p, b_p) = _CFA[_cfa_key(cfa)]
     r, g, b = _split3(image)
     sel_r = (ry == r_p[0]) & (rx == r_p[1])
     sel_b = (ry == b_p[0]) & (rx == b_p[1])
@@ -383,7 +402,7 @@ def raw_to_rgb(image: jax.Array, cfa: str = "BG") -> jax.Array:
     H, W = image.shape[-2:]
     ry = (jnp.arange(H)[:, None] % 2)
     rx = (jnp.arange(W)[None, :] % 2)
-    (r_p, gr_p, gb_p, b_p) = _CFA[cfa]
+    (r_p, gr_p, gb_p, b_p) = _CFA[_cfa_key(cfa)]
     m_r = ((ry == r_p[0]) & (rx == r_p[1])).astype(image.dtype)
     m_b = ((ry == b_p[0]) & (rx == b_p[1])).astype(image.dtype)
     m_g = 1.0 - m_r - m_b
@@ -405,6 +424,53 @@ def raw_to_rgb(image: jax.Array, cfa: str = "BG") -> jax.Array:
     return jnp.concatenate([r, g, b], axis=-3)
 
 
+def raw_to_rgb_2x2_downscaled(image: jax.Array, cfa="BG") -> jax.Array:
+    """Half-resolution demosaic: each 2x2 Bayer cell becomes one RGB pixel,
+    greens averaged (reference: color/raw.py:236)."""
+    image = as_float(image)
+    check(image.shape[-3] == 1, f"expected 1 channel raw, got {image.shape}")
+    H, W = image.shape[-2:]
+    check(H % 2 == 0 and W % 2 == 0, f"H/W must be even, got {(H, W)}")
+    (r_p, gr_p, gb_p, b_p) = _CFA[_cfa_key(cfa)]
+    cells = image.reshape(*image.shape[:-2], H // 2, 2, W // 2, 2)
+    cells = jnp.moveaxis(cells, -3, -2)  # (..., 1, H/2, W/2, 2, 2)
+    r = cells[..., r_p[0], r_p[1]]
+    g = 0.5 * (cells[..., gr_p[0], gr_p[1]] + cells[..., gb_p[0], gb_p[1]])
+    b = cells[..., b_p[0], b_p[1]]
+    return jnp.concatenate([r, g, b], axis=-3)
+
+
+def rgb_to_y(image: jax.Array) -> jax.Array:
+    """RGB → luma Y (..., 1, H, W) (reference: color/ycbcr.py:64)."""
+    image = as_float(image)
+    check(image.shape[-3] == 3, f"expected 3 channels, got {image.shape}")
+    r, g, b = _split3(image)
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def rgb_to_rgb255(image: jax.Array) -> jax.Array:
+    """[0,1] RGB → clipped [0,255] RGB (reference: color/rgb.py:254)."""
+    return jnp.clip(as_float(image) * 255.0, 0.0, 255.0)
+
+
+def rgb255_to_rgb(image: jax.Array) -> jax.Array:
+    """[0,255] RGB → [0,1] RGB (reference: color/rgb.py:311)."""
+    return as_float(image) / 255.0
+
+
+def normals_to_rgb255(image: jax.Array) -> jax.Array:
+    """Unit surface normals → [0,255] RGB (reference: color/rgb.py:284)."""
+    return jnp.clip(0.5 * (as_float(image) + 1.0), 0.0, 1.0) * 255.0
+
+
+def rgb255_to_normals(image: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """[0,255] RGB → L2-normalized surface normals
+    (reference: color/rgb.py:341)."""
+    n = (as_float(image) / 255.0) * 2.0 - 1.0
+    norm = jnp.linalg.norm(n, axis=-3, keepdims=True)
+    return n / jnp.maximum(norm, eps)
+
+
 def sepia(image: jax.Array, rescale: bool = True, eps: float = 1e-6) -> jax.Array:
     """Sepia tone (reference: color/sepia.py — rescale divides by the
     per-channel max)."""
@@ -415,6 +481,10 @@ def sepia(image: jax.Array, rescale: bool = True, eps: float = 1e-6) -> jax.Arra
         mx = jnp.max(out, axis=(-2, -1), keepdims=True)
         out = out / (mx + eps)
     return out
+
+
+# reference exports the functional under both names (color/sepia.py)
+sepia_from_rgb = sepia
 
 
 def apply_colormap(gray: jax.Array, colormap: jax.Array) -> jax.Array:

@@ -460,3 +460,89 @@ def otsu_threshold(image: jax.Array, nbins: int = 256,
         mask = flat > th
         return th, mask.reshape(image.shape)
     return th
+
+
+# -----------------------------------------------------------------------------
+# raw HSV adjusters / threshold / linear transform / rescale
+# (surface-parity additions; reference: enhance/adjust.py, threshold.py,
+# zca.py:321, rescale.py)
+# -----------------------------------------------------------------------------
+
+def adjust_saturation_raw(image: jax.Array, factor) -> jax.Array:
+    """Scale S of an HSV image (reference: adjust.py:37)."""
+    image = as_float(image)
+    factor = _bcast_factor(factor, image)
+    s = jnp.clip(image[..., 1:2, :, :] * factor, 0.0, 1.0)
+    return jnp.concatenate(
+        [image[..., 0:1, :, :], s, image[..., 2:3, :, :]], axis=-3)
+
+
+def adjust_hue_raw(image: jax.Array, factor) -> jax.Array:
+    """Shift H (radians) of an HSV image (reference: adjust.py:166)."""
+    image = as_float(image)
+    factor = _bcast_factor(factor, image)
+    h = jnp.mod(image[..., 0:1, :, :] + factor, 2.0 * jnp.pi)
+    return jnp.concatenate([h, image[..., 1:, :, :]], axis=-3)
+
+
+import enum as _enum
+
+
+class ThresholdType(_enum.IntEnum):
+    """OpenCV-compatible fixed threshold types
+    (reference: enhance/threshold.py:30)."""
+
+    THRESH_BINARY = 0
+    THRESH_BINARY_INV = 1
+    THRESH_TRUNC = 2
+    THRESH_TOZERO = 3
+    THRESH_TOZERO_INV = 4
+    THRESH_OTSU = 8
+
+
+def threshold(image: jax.Array, thresh, maxval=255.0,
+              type=ThresholdType.THRESH_BINARY) -> jax.Array:
+    """OpenCV-style fixed-level thresholding
+    (reference: enhance/threshold.py:46)."""
+    image = as_float(image)
+    t = int(type)
+    check(not (t & int(ThresholdType.THRESH_OTSU)),
+          "THRESH_OTSU is not supported here; use otsu_threshold instead")
+    check(t in (0, 1, 2, 3, 4), f"unsupported threshold type {type}")
+    thresh = jnp.asarray(thresh, image.dtype)
+    maxval = jnp.asarray(maxval, image.dtype)
+    mask = image > thresh
+    zeros = jnp.zeros_like(image)
+    if t == int(ThresholdType.THRESH_BINARY):
+        return jnp.where(mask, maxval, zeros)
+    if t == int(ThresholdType.THRESH_BINARY_INV):
+        return jnp.where(mask, zeros, maxval)
+    if t == int(ThresholdType.THRESH_TRUNC):
+        return jnp.minimum(image, thresh)
+    if t == int(ThresholdType.THRESH_TOZERO):
+        return jnp.where(mask, image, zeros)
+    return jnp.where(mask, zeros, image)
+
+
+def linear_transform(x: jax.Array, transform_matrix: jax.Array,
+                     mean_vector: jax.Array, dim: int = 0) -> jax.Array:
+    """Flatten along `dim`, subtract mean, apply matrix, reshape back
+    (reference: enhance/zca.py:321)."""
+    x = as_float(x)
+    perm = [i for i in range(x.ndim) if i != dim]
+    shape = x.shape
+    flat = jnp.moveaxis(x, dim, 0).reshape(shape[dim], -1)
+    out = (flat - mean_vector.reshape(1, -1)) @ transform_matrix
+    out = out.reshape([shape[dim]] + [shape[i] for i in perm])
+    return jnp.moveaxis(out, 0, dim)
+
+
+def rescale_intensity(x: jax.Array, factor) -> jax.Array:
+    """Multiply by a scalar factor (reference: enhance/rescale.py Rescale)."""
+    return as_float(x) * jnp.asarray(factor, as_float(x).dtype)
+
+
+__all__ += [
+    "adjust_saturation_raw", "adjust_hue_raw", "ThresholdType", "threshold",
+    "linear_transform", "rescale_intensity",
+]

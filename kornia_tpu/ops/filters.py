@@ -712,3 +712,174 @@ def canny(
 
     strong, _ = lax.scan(body, high, None, length=16)
     return mag, strong.astype(x.dtype)
+
+
+# -----------------------------------------------------------------------------
+# kernel factories / variants added for full reference surface parity
+# -----------------------------------------------------------------------------
+
+def gaussian(window_size: int, sigma, mean=None, dtype=jnp.float32
+             ) -> jax.Array:
+    """Normalized gaussian profile values, batched over sigma
+    (reference: filters/kernels.py:77 — returns (B, window_size))."""
+    sigma = jnp.atleast_2d(jnp.asarray(sigma, dtype))  # (B, 1)
+    if mean is None:
+        mean = float(window_size // 2)
+    mean = jnp.atleast_2d(jnp.asarray(mean, sigma.dtype))
+    x = jnp.arange(window_size, dtype=sigma.dtype) - mean
+    if window_size % 2 == 0:
+        x = x + 0.5
+    g = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return g / jnp.sum(g, axis=-1, keepdims=True)
+
+
+def laplacian_1d(window_size: int, dtype=jnp.float32) -> jax.Array:
+    """[1, ..., 1 - window_size, ..., 1] (reference: kernels.py:288)."""
+    k = jnp.ones((window_size,), dtype)
+    return k.at[window_size // 2].set(1.0 - window_size)
+
+
+def get_binary_kernel2d(window_size, dtype=jnp.float32) -> jax.Array:
+    """(H*W, 1, H, W) one-hot patch-extraction kernel
+    (reference: kernels.py:338)."""
+    if isinstance(window_size, int):
+        window_size = (window_size, window_size)
+    ky, kx = window_size
+    n = ky * kx
+    return jnp.eye(n, dtype=dtype).reshape(n, 1, ky, kx)
+
+
+def get_spatial_gradient_kernel2d(mode: str, order: int,
+                                  dtype=jnp.float32) -> jax.Array:
+    """First/second-order sobel/diff kernel stack
+    (reference: kernels.py:504)."""
+    check(mode.lower() in ("sobel", "diff"), f"mode must be sobel|diff, got {mode}")
+    check(order in (1, 2), f"order must be 1|2, got {order}")
+    if mode == "sobel":
+        return (get_sobel_kernel2d(dtype) if order == 1
+                else _sobel_kernel2d_2nd(dtype))
+    return (get_diff_kernel2d(dtype) if order == 1
+            else _diff_kernel2d_2nd(dtype))
+
+
+def get_diff_kernel3d(dtype=jnp.float32) -> jax.Array:
+    """(3, 1, 3, 3, 3) central-difference kernels [gx, gy, gz]
+    (reference: kernels.py get_diff_kernel3d)."""
+    k = jnp.zeros((3, 3, 3, 3), dtype)
+    k = k.at[0, 1, 1, 0].set(-0.5).at[0, 1, 1, 2].set(0.5)
+    k = k.at[1, 1, 0, 1].set(-0.5).at[1, 1, 2, 1].set(0.5)
+    k = k.at[2, 0, 1, 1].set(-0.5).at[2, 2, 1, 1].set(0.5)
+    return k[:, None]
+
+
+def get_diff_kernel3d_2nd_order(dtype=jnp.float32) -> jax.Array:
+    """(6, 1, 3, 3, 3) 2nd-order kernels [xx, yy, zz, xy, yz, xz]
+    (reference: kernels.py get_diff_kernel3d_2nd_order)."""
+    k = jnp.zeros((6, 3, 3, 3), dtype)
+    k = k.at[0, 1, 1, 0].set(1.0).at[0, 1, 1, 1].set(-2.0).at[0, 1, 1, 2].set(1.0)
+    k = k.at[1, 1, 0, 1].set(1.0).at[1, 1, 1, 1].set(-2.0).at[1, 1, 2, 1].set(1.0)
+    k = k.at[2, 0, 1, 1].set(1.0).at[2, 1, 1, 1].set(-2.0).at[2, 2, 1, 1].set(1.0)
+    k = k.at[3, 1, 0, 0].set(1.0).at[3, 1, 0, 2].set(-1.0)
+    k = k.at[3, 1, 2, 0].set(-1.0).at[3, 1, 2, 2].set(1.0)
+    k = k.at[4, 0, 0, 1].set(1.0).at[4, 0, 2, 1].set(-1.0)
+    k = k.at[4, 2, 0, 1].set(-1.0).at[4, 2, 2, 1].set(1.0)
+    k = k.at[5, 0, 1, 0].set(1.0).at[5, 0, 1, 2].set(-1.0)
+    k = k.at[5, 2, 1, 0].set(-1.0).at[5, 2, 1, 2].set(1.0)
+    return k[:, None]
+
+
+def get_spatial_gradient_kernel3d(mode: str, order: int,
+                                  dtype=jnp.float32) -> jax.Array:
+    """(reference: kernels.py:532 — only diff mode is implemented there)."""
+    check(mode.lower() == "diff" and order in (1, 2),
+          f"3d gradient kernels: mode=diff, order in (1, 2); got {mode}/{order}")
+    return (get_diff_kernel3d(dtype) if order == 1
+            else get_diff_kernel3d_2nd_order(dtype))
+
+
+def get_motion_kernel3d(kernel_size: int, angle, direction=0.0,
+                        mode: str = "nearest", dtype=jnp.float32
+                        ) -> jax.Array:
+    """(B, k, k, k) motion kernel: intensity-ramped axial line rotated by the
+    (yaw, pitch, roll) axis-angle via rotate3d (reference:
+    kernels_geometry.py get_motion_kernel3d)."""
+    check(kernel_size % 2 == 1 and kernel_size > 2,
+          f"kernel_size must be odd and >2, got {kernel_size}")
+    angle = jnp.asarray(angle, dtype)
+    if angle.ndim == 1:
+        angle = angle[None]
+    check_shape(angle, ["B", "3"], "angle")
+    B = angle.shape[0]
+    direction = jnp.broadcast_to(jnp.asarray(direction, dtype), (B,))
+    direction = (jnp.clip(direction, -1.0, 1.0) + 1.0) / 2.0
+    k = kernel_size
+    ramp = direction[:, None] + (1.0 - 2.0 * direction[:, None]) \
+        * jnp.arange(k, dtype=dtype) / (k - 1)
+    kern = jnp.zeros((B, k, k, k), dtype)
+    kern = kern.at[:, k // 2, k // 2, :].set(ramp)
+    from .warp3d import rotate3d
+    kern = rotate3d(kern[:, None], angle[:, 0], angle[:, 1], angle[:, 2],
+                    mode=mode, align_corners=True)[:, 0]
+    return kern / jnp.sum(kern, axis=(1, 2, 3), keepdims=True)
+
+
+def motion_blur3d(x: jax.Array, kernel_size: int, angle, direction=0.0,
+                  border_type: str = "constant",
+                  mode: str = "nearest") -> jax.Array:
+    """Directional blur on (B, C, D, H, W) volumes
+    (reference: filters/motion.py:224)."""
+    kern = get_motion_kernel3d(kernel_size, angle, direction, mode)
+    return filter3d(x, kern, border_type)
+
+
+def correlate3d(x: jax.Array, kernel: jax.Array,
+                border_type: str = "replicate",
+                normalized: bool = False) -> jax.Array:
+    """filter3d with correlation semantics (reference: filter.py:551)."""
+    return filter3d(x, kernel, border_type, normalized)
+
+
+def convolve3d(x: jax.Array, kernel: jax.Array,
+               border_type: str = "replicate",
+               normalized: bool = False) -> jax.Array:
+    """True 3D convolution: kernel flipped in all spatial dims
+    (reference: filter.py:578)."""
+    return filter3d(x, jnp.flip(kernel, axis=(-3, -2, -1)), border_type,
+                    normalized)
+
+
+def fft_conv(x: jax.Array, kernel: jax.Array, border_type: str = "reflect",
+             normalized: bool = False, padding: str = "same",
+             behaviour: str = "corr") -> jax.Array:
+    """Reference-signature FFT filter (filter.py:322); `conv` flips the
+    kernel, `valid` crops the same-size result."""
+    kernel = kernel.astype(as_float(x).dtype)
+    if normalized:
+        kernel = kernel / jnp.sum(jnp.abs(kernel), axis=(-2, -1),
+                                  keepdims=True)
+    if behaviour == "conv":
+        kernel = jnp.flip(kernel, axis=(-2, -1))
+    out = fft_conv2d(x, kernel, border_type)
+    if padding == "valid":
+        kh, kw = kernel.shape[-2:]
+        out = out[..., kh // 2: out.shape[-2] - (kh - 1) // 2,
+                  kw // 2: out.shape[-1] - (kw - 1) // 2]
+    return out
+
+
+# tensor-sigma variants: in JAX every factory already accepts arrays, so the
+# reference's *_t split (kernels.py get_gaussian_kernel1d_t etc.) collapses
+# to aliases
+get_gaussian_kernel1d_t = get_gaussian_kernel1d
+get_gaussian_kernel2d_t = get_gaussian_kernel2d
+get_gaussian_kernel3d_t = get_gaussian_kernel3d
+gaussian_blur2d_t = gaussian_blur2d
+
+__all__ += [
+    "gaussian", "laplacian_1d", "get_binary_kernel2d",
+    "get_spatial_gradient_kernel2d", "get_spatial_gradient_kernel3d",
+    "get_diff_kernel3d", "get_diff_kernel3d_2nd_order",
+    "get_motion_kernel3d", "motion_blur3d", "correlate3d", "convolve3d",
+    "fft_conv", "get_gaussian_kernel1d_t", "get_gaussian_kernel2d_t",
+    "get_gaussian_kernel3d_t", "gaussian_blur2d_t",
+]

@@ -18,6 +18,8 @@ __all__ = [
     "warp_affine3d",
     "warp_perspective3d",
     "get_projective_transform",
+    "affine3d",
+    "rotate3d",
     "crop_by_boxes3d",
     "center_crop3d",
     "crop3d",
@@ -83,22 +85,52 @@ def grid_sample3d(volume: jax.Array, grid: jax.Array,
 
 def get_projective_transform(center: jax.Array, angles: jax.Array,
                              scales: jax.Array) -> jax.Array:
-    """3D affine (B, 3, 4) rotating around a center by XYZ euler degrees
-    (reference: imgwarp.py get_projective_transform)."""
+    """3D affine (B, 3, 4) rotating around a center, where ``angles`` (B, 3)
+    in DEGREES is interpreted as an axis-angle vector — NOT Euler angles —
+    matching the reference exactly (imgwarp.py:1045-1093)."""
     from ..geometry.conversions import axis_angle_to_rotation_matrix
+    center = as_float(center)
     angles_rad = jnp.deg2rad(as_float(angles))
-    # XYZ euler composition
-    def rot_axis(theta, axis):
-        aa = jnp.zeros_like(angles_rad).at[..., axis].set(theta)
-        return axis_angle_to_rotation_matrix(aa)
-
-    Rx = rot_axis(angles_rad[..., 0], 0)
-    Ry = rot_axis(angles_rad[..., 1], 1)
-    Rz = rot_axis(angles_rad[..., 2], 2)
-    R = Rz @ Ry @ Rx
-    R = R * scales[..., None, None]
+    R = axis_angle_to_rotation_matrix(angles_rad)  # (B, 3, 3)
+    scales = jnp.asarray(scales, R.dtype)
+    if scales.ndim == 1:
+        scales = scales[:, None]
+    # reference: rmat @ (eye * scales.unsqueeze(1)) — per-column scaling,
+    # isotropic for (B, 1), anisotropic diag for (B, 3)
+    S = jnp.eye(3, dtype=R.dtype) * scales[:, None, :]
+    R = R @ S
     t = center[..., None] - R @ center[..., None]
     return jnp.concatenate([R, t], axis=-1)
+
+
+def affine3d(tensor: jax.Array, matrix: jax.Array, mode: str = "bilinear",
+             padding_mode: str = "zeros",
+             align_corners: bool = False) -> jax.Array:
+    """Apply a (B, 3, 4) affine to a (B, C, D, H, W) volume, output size
+    preserved (reference: affwarp.py:191)."""
+    tensor = as_float(tensor)
+    D, H, W = tensor.shape[-3:]
+    return warp_affine3d(tensor, matrix, (D, H, W), mode, padding_mode,
+                         align_corners)
+
+
+def rotate3d(tensor: jax.Array, yaw: jax.Array, pitch: jax.Array,
+             roll: jax.Array, center: Optional[jax.Array] = None,
+             mode: str = "bilinear", padding_mode: str = "zeros",
+             align_corners: bool = False) -> jax.Array:
+    """Rotate a (B, C, D, H, W) volume anti-clockwise about its centre by
+    (yaw, pitch, roll) degrees (reference: affwarp.py:312)."""
+    tensor = as_float(tensor)
+    B = tensor.shape[0]
+    D, H, W = tensor.shape[-3:]
+    if center is None:
+        center = jnp.array([(W - 1) / 2.0, (H - 1) / 2.0, (D - 1) / 2.0],
+                           tensor.dtype)
+    center = jnp.broadcast_to(jnp.asarray(center, tensor.dtype), (B, 3))
+    ypr = jnp.stack([jnp.broadcast_to(jnp.asarray(a, tensor.dtype), (B,))
+                     for a in (yaw, pitch, roll)], axis=-1)
+    M = get_projective_transform(center, ypr, jnp.ones((B, 1), tensor.dtype))
+    return affine3d(tensor, M, mode, padding_mode, align_corners)
 
 
 def warp_affine3d(src: jax.Array, M: jax.Array,
