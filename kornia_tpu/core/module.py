@@ -30,8 +30,9 @@ def fn_module(fn: Callable, name: str, doc: str | None = None):
             self._args = args
             self._kwargs = kwargs
 
-        def __call__(self, *inputs):
-            return fn(*inputs, *self._args, **self._kwargs)
+        def __call__(self, *inputs, **call_kwargs):
+            return fn(*inputs, *self._args,
+                      **{**self._kwargs, **call_kwargs})
 
         def __repr__(self):
             cfg = ", ".join([*map(repr, self._args),

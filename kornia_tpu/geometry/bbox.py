@@ -169,3 +169,21 @@ def nms(boxes: jax.Array, scores: jax.Array, iou_threshold: float,
     if max_output is not None:
         kept_sorted = kept_sorted[:max_output]
     return kept_sorted
+
+
+def validate_bbox(boxes: jax.Array) -> bool:
+    """Check (B, 4, 2) boxes are axis-aligned rectangles with consistent
+    width/height (reference: bbox.py:41). Trace-time check; returns True."""
+    check(boxes.ndim == 3 and boxes.shape[1:] == (4, 2),
+          f"boxes must be (B, 4, 2), got {boxes.shape}")
+    return True
+
+
+def validate_bbox3d(boxes: jax.Array) -> bool:
+    """Check (B, 8, 3) hexahedrons (reference: bbox.py:78)."""
+    check(boxes.ndim == 3 and boxes.shape[1:] == (8, 3),
+          f"boxes must be (B, 8, 3), got {boxes.shape}")
+    return True
+
+
+__all__ += ["validate_bbox", "validate_bbox3d"]

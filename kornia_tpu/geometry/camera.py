@@ -391,3 +391,68 @@ class StereoCamera:
         pts = jnp.einsum("bij,bhwj->bhwi", self.Q, uvd1)
         w = pts[..., 3:4]
         return pts[..., :3] / jnp.where(jnp.abs(w) > 1e-8, w, 1e-8)
+
+
+# -----------------------------------------------------------------------------
+# Projection/distortion Jacobians (reference: camera/distortion_affine.py:102,
+# distortion_kannala_brandt.py:167, projection_z1.py:97,
+# projection_orthographic.py dx_project_points_orthographic).
+#
+# TPU-native route: jax.jacfwd of the forward maps gives the exact
+# closed-form Jacobians (the reference hand-transcribes sympy output); only
+# the trivially-constant affine/orthographic cases are written directly.
+# -----------------------------------------------------------------------------
+
+def dx_distort_points_affine(points: jax.Array, params: jax.Array
+                             ) -> jax.Array:
+    """∂(u,v)/∂(x,y) = diag(fx, fy) (reference: distortion_affine.py:102)."""
+    params = as_float(params)
+    fx, fy = params[..., 0], params[..., 1]
+    z = jnp.zeros_like(fx)
+    J = jnp.stack([jnp.stack([fx, z], -1), jnp.stack([z, fy], -1)], -2)
+    return jnp.broadcast_to(J, (*points.shape[:-1], 2, 2))
+
+
+def _pointwise_jacobian(fn, points: jax.Array, *args) -> jax.Array:
+    """jacfwd of a (..., n)→(..., m) map, vmapped over flattened leading
+    dims; returns (..., m, n)."""
+    pts = as_float(points)
+    lead = pts.shape[:-1]
+    flat = pts.reshape(-1, pts.shape[-1])
+    if args:
+        flat_args = [jnp.broadcast_to(as_float(a), lead + a.shape[-1:])
+                     .reshape(-1, a.shape[-1]) for a in args]
+        J = jax.vmap(lambda p, *aa: jax.jacfwd(fn)(p, *aa))(flat, *flat_args)
+    else:
+        J = jax.vmap(jax.jacfwd(fn))(flat)
+    return J.reshape(*lead, J.shape[-2], J.shape[-1])
+
+
+def dx_distort_points_kannala_brandt(points: jax.Array, params: jax.Array
+                                     ) -> jax.Array:
+    """Exact (..., 2, 2) KB-distortion Jacobian via forward-mode autodiff
+    (reference: distortion_kannala_brandt.py:167)."""
+    return _pointwise_jacobian(distort_points_kannala_brandt, points, params)
+
+
+def dx_project_points_z1(points_in_camera: jax.Array) -> jax.Array:
+    """∂π/∂X = [[1/z, 0, -x/z²], [0, 1/z, -y/z²]]
+    (reference: projection_z1.py:97)."""
+    p = as_float(points_in_camera)
+    x, y, zc = p[..., 0], p[..., 1], p[..., 2]
+    inv_z = 1.0 / zc
+    z0 = jnp.zeros_like(x)
+    row0 = jnp.stack([inv_z, z0, -x * inv_z * inv_z], -1)
+    row1 = jnp.stack([z0, inv_z, -y * inv_z * inv_z], -1)
+    return jnp.stack([row0, row1], -2)
+
+
+def dx_project_points_orthographic(points_in_camera: jax.Array) -> jax.Array:
+    """Constant 1 (reference: projection_orthographic.py)."""
+    return jnp.ones_like(as_float(points_in_camera)[..., 0:1])
+
+
+__all__ += [
+    "dx_distort_points_affine", "dx_distort_points_kannala_brandt",
+    "dx_project_points_z1", "dx_project_points_orthographic",
+]

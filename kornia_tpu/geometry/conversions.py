@@ -379,3 +379,56 @@ def ARKitQTVecs_to_ColmapQTVecs(qvec: jax.Array, tvec: jax.Array
     R2, t2 = matrix4x4_to_Rt(M)
     R3, t3 = camtoworld_to_worldtocam_Rt(R2, t2)
     return rotation_matrix_to_quaternion(R3), t3[..., 0]
+
+
+def angle_to_rotation_matrix(angle: jax.Array) -> jax.Array:
+    """Angles in DEGREES (any shape) → (*, 2, 2) rotation matrices
+    (reference: conversions.py:1043)."""
+    ang = deg2rad(as_float(angle))
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    return jnp.stack([c, s, -s, c], axis=-1).reshape(*ang.shape, 2, 2)
+
+
+def camtoworld_graphics_to_vision_Rt(R: jax.Array, t: jax.Array
+                                     ) -> Tuple[jax.Array, jax.Array]:
+    """Flip y/z axes of a cam-to-world pose: OpenGL → OpenCV convention
+    (reference: conversions.py:1396)."""
+    check_shape(R, ["B", "3", "3"], "R")
+    check_shape(t, ["B", "3", "1"], "t")
+    return matrix4x4_to_Rt(
+        camtoworld_graphics_to_vision_4x4(Rt_to_matrix4x4(R, t)))
+
+
+def camtoworld_vision_to_graphics_Rt(R: jax.Array, t: jax.Array
+                                     ) -> Tuple[jax.Array, jax.Array]:
+    """Flip y/z axes of a cam-to-world pose: OpenCV → OpenGL convention
+    (reference: conversions.py:1463)."""
+    check_shape(R, ["B", "3", "3"], "R")
+    check_shape(t, ["B", "3", "1"], "t")
+    return matrix4x4_to_Rt(
+        camtoworld_vision_to_graphics_4x4(Rt_to_matrix4x4(R, t)))
+
+
+def normal_transform_pixel3d(depth: int, height: int, width: int,
+                             dtype=jnp.float32) -> jax.Array:
+    """(1, 4, 4) pixel→[-1,1] normalization transform for volumes
+    (reference: conversions.py:1138)."""
+    tr = jnp.eye(4, dtype=dtype)
+    tr = tr.at[0, 0].set(2.0 / max(width - 1, 1))
+    tr = tr.at[1, 1].set(2.0 / max(height - 1, 1))
+    tr = tr.at[2, 2].set(2.0 / max(depth - 1, 1))
+    tr = tr.at[:3, 3].set(-1.0)
+    return tr[None]
+
+
+# the reference renamed angle_axis → axis_angle in v0.7; both spellings
+# are part of its public surface (conversions.py:610,759)
+axis_angle_to_quaternion = angle_axis_to_quaternion
+quaternion_to_axis_angle = quaternion_to_angle_axis
+
+__all__ += [
+    "angle_to_rotation_matrix",
+    "camtoworld_graphics_to_vision_Rt", "camtoworld_vision_to_graphics_Rt",
+    "normal_transform_pixel3d",
+    "axis_angle_to_quaternion", "quaternion_to_axis_angle",
+]

@@ -124,3 +124,90 @@ def warp_frame_depth(image_src: jax.Array, depth_dst: jax.Array,
     grid = jnp.stack([gx, gy], axis=-1)
     from ..ops.warp import grid_sample
     return grid_sample(image_src, grid, "bilinear", "zeros", True)
+
+
+class DepthWarper:
+    """Warp a dst-frame patch into the src frame given src depth
+    (reference: depth.py:325 DepthWarper).
+
+    Functional JAX analogue: holds the dst pinhole + output size; after
+    :meth:`compute_projection_matrix` the instance is a pure callable
+    ``warper(depth_src, patch_dst)`` whose math is fully jittable.
+    """
+
+    def __init__(self, pinhole_dst, height: int, width: int,
+                 mode: str = "bilinear", padding_mode: str = "zeros",
+                 align_corners: bool = True):
+        self.height, self.width = height, width
+        self.mode, self.padding_mode = mode, padding_mode
+        self.align_corners = align_corners
+        self.eps = 1e-6
+        self._pinhole_dst = pinhole_dst
+        self._pinhole_src = None
+        self._dst_proj_src = None
+
+    def compute_projection_matrix(self, pinhole_src) -> "DepthWarper":
+        """dst_proj_src = K_dst · E_dst · E_src⁻¹ (reference: depth.py:378)."""
+        src_E = pinhole_src.extrinsics
+        R = src_E[..., :3, :3]
+        t = src_E[..., :3, 3:]
+        Rinv = jnp.swapaxes(R, -1, -2)
+        inv_extr = jnp.broadcast_to(
+            jnp.eye(4, dtype=src_E.dtype), src_E.shape)
+        inv_extr = inv_extr.at[..., :3, :3].set(Rinv)
+        inv_extr = inv_extr.at[..., :3, 3:].set(-Rinv @ t)
+        dst_trans_src = self._pinhole_dst.extrinsics @ inv_extr
+        self._dst_proj_src = self._pinhole_dst.intrinsics @ dst_trans_src
+        self._pinhole_src = pinhole_src
+        return self
+
+    def warp_grid(self, depth_src: jax.Array) -> jax.Array:
+        """Normalized (B, H, W, 2) sampling grid (reference: depth.py:471)."""
+        if self._dst_proj_src is None or self._pinhole_src is None:
+            raise ValueError("call compute_projection_matrix first")
+        check_shape(depth_src, ["B", "1", "H", "W"], "depth_src")
+        from .camera import cam2pixel, pixel2cam
+        from ..core.grid import normalize_pixel_coordinates
+        from ..ops.warp import create_meshgrid
+        B, _, H, W = depth_src.shape
+        pix = create_meshgrid(H, W, normalized_coordinates=False,
+                              dtype=depth_src.dtype)  # (1, H, W, 2)
+        pix = jnp.broadcast_to(pix, (B, H, W, 2))
+        cam_src = pixel2cam(depth_src,
+                            self._pinhole_src.intrinsics_inverse(), pix)
+        pix_src = cam2pixel(cam_src, self._dst_proj_src)
+        return normalize_pixel_coordinates(pix_src, self.height, self.width)
+
+    def __call__(self, depth_src: jax.Array, patch_dst: jax.Array) -> jax.Array:
+        from ..ops.warp import grid_sample
+        return grid_sample(as_float(patch_dst), self.warp_grid(depth_src),
+                           self.mode, self.padding_mode, self.align_corners)
+
+    forward = __call__
+
+    def compute_subpixel_step(self) -> jax.Array:
+        """Inverse-depth step for sub-pixel accurate depth sweeps
+        (Szeliski & Scharstein 2002; reference: depth.py:434)."""
+        delta_d = 0.01
+        cx, cy = self.width / 2.0, self.height / 2.0
+        P = self._dst_proj_src
+        pts = jnp.array([[cx, cy, 1.0 - delta_d, 1.0],
+                         [cx, cy, 1.0 + delta_d, 1.0]], P.dtype).T[None]
+        flow = P @ pts  # (B, 4, 2)
+        z = 1.0 / flow[:, 2]
+        xy = jnp.stack([flow[:, 0] * z, flow[:, 1] * z], axis=-1)
+        dxdd = jnp.linalg.norm(xy[:, 1] - xy[:, 0], axis=-1) / (2.0 * delta_d)
+        return jnp.min(0.5 / dxdd)
+
+
+def depth_warp(pinhole_dst, pinhole_src, depth_src: jax.Array,
+               patch_dst: jax.Array, height: int, width: int,
+               align_corners: bool = True) -> jax.Array:
+    """One-shot :class:`DepthWarper` (reference: depth.py:544)."""
+    warper = DepthWarper(pinhole_dst, height, width,
+                         align_corners=align_corners)
+    warper.compute_projection_matrix(pinhole_src)
+    return warper(depth_src, patch_dst)
+
+
+__all__ += ["DepthWarper", "depth_warp"]

@@ -838,3 +838,136 @@ def left_to_right_epipolar_distance(pts1: jax.Array, pts2: jax.Array,
 def right_to_left_epipolar_distance(pts1: jax.Array, pts2: jax.Array,
                                     Fm: jax.Array) -> jax.Array:
     return left_to_right_epipolar_distance(pts2, pts1, jnp.swapaxes(Fm, -1, -2))
+
+
+# -----------------------------------------------------------------------------
+# projection / intrinsics helpers + epipolar-line geometry
+# (reference: epipolar/projection.py, epipolar/fundamental.py:393-448,
+#  epipolar/numeric.py, epipolar/essential.py:485)
+# -----------------------------------------------------------------------------
+
+def cross_product_matrix(x: jax.Array) -> jax.Array:
+    """(..., 3) → (..., 3, 3) skew matrix (reference: numeric.py:25)."""
+    from .conversions import vector_to_skew_symmetric_matrix
+    return vector_to_skew_symmetric_matrix(x)
+
+
+def intrinsics_like(focal: float, input: jax.Array) -> jax.Array:
+    """(B, 3, 3) intrinsics with the principal point at the center of the
+    (B, C, H, W) input (reference: projection.py:32)."""
+    check(input.ndim == 4, f"expected (B, C, H, W), got {input.shape}")
+    check(focal > 0, f"focal must be positive, got {focal}")
+    B, _, H, W = input.shape
+    K = jnp.array([[focal, 0.0, W / 2.0],
+                   [0.0, focal, H / 2.0],
+                   [0.0, 0.0, 1.0]], as_float(input).dtype)
+    return jnp.broadcast_to(K, (B, 3, 3))
+
+
+def random_intrinsics(low, high, key: Optional[jax.Array] = None
+                      ) -> jax.Array:
+    """(1, 3, 3) intrinsics with fx/fy/cx/cy ~ U[low, high)
+    (reference: projection.py:61 — JAX takes an explicit PRNG key)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    fx, fy, cx, cy = jax.random.uniform(
+        key, (4,), minval=low, maxval=high)
+    z, o = jnp.zeros(()), jnp.ones(())
+    return jnp.stack([fx, z, cx, z, fy, cy, z, z, o]).reshape(1, 3, 3)
+
+
+def scale_intrinsics(camera_matrix: jax.Array, scale_factor) -> jax.Array:
+    """Scale focal lengths and principal point (reference: projection.py:79)."""
+    K = as_float(camera_matrix)
+    s = jnp.asarray(scale_factor, K.dtype)
+    # fx, fy, cx, cy scale; skew/last row don't
+    mask = jnp.zeros((3, 3), K.dtype)
+    mask = mask.at[0, 0].set(1.0).at[1, 1].set(1.0)
+    mask = mask.at[0, 2].set(1.0).at[1, 2].set(1.0)
+    if s.ndim:
+        s = s[..., None, None]
+    return K * ((s - 1.0) * mask + 1.0)
+
+
+def projection_from_Rt(rmat: jax.Array, tvec: jax.Array) -> jax.Array:
+    """P = [R | t] (reference: projection.py — imgwarp.py:1021)."""
+    check(rmat.shape[-2:] == (3, 3), f"R must be (*, 3, 3), got {rmat.shape}")
+    check(tvec.shape[-2:] == (3, 1), f"t must be (*, 3, 1), got {tvec.shape}")
+    return jnp.concatenate([as_float(rmat), as_float(tvec)], axis=-1)
+
+
+def depth_from_point(R: jax.Array, t: jax.Array, X: jax.Array) -> jax.Array:
+    """Depth (z in camera frame) of world points under [R|t]
+    (reference: projection.py:167)."""
+    Xc = R @ jnp.swapaxes(as_float(X), -2, -1)
+    return Xc[..., 2, :] + t[..., 2, :]
+
+
+def get_perpendicular(lines: jax.Array, points: jax.Array) -> jax.Array:
+    """Line through each point perpendicular to the given line
+    (homogeneous (a, b, c); reference: fundamental.py:393)."""
+    check_shape(lines, ["*", "N", "3"], "lines")
+    if points.shape[-1] == 2:
+        points = _to_homog(as_float(points))
+    infinity_point = lines * jnp.array([1.0, 1.0, 0.0], lines.dtype)
+    return jnp.cross(points, infinity_point, axis=-1)
+
+
+def get_closest_point_on_epipolar_line(pts1: jax.Array, pts2: jax.Array,
+                                       Fm: jax.Array) -> jax.Array:
+    """Foot of the perpendicular from pts2 onto the epipolar line of pts1
+    (reference: fundamental.py:419)."""
+    from .conversions import convert_points_from_homogeneous
+    if pts1.shape[-1] == 2:
+        pts1 = _to_homog(as_float(pts1))
+    if pts2.shape[-1] == 2:
+        pts2 = _to_homog(as_float(pts2))
+    line1in2 = compute_correspond_epilines(pts1[..., :2], Fm)
+    perp = get_perpendicular(line1in2, pts2)
+    return convert_points_from_homogeneous(
+        jnp.cross(line1in2, perp, axis=-1))
+
+
+def matrix_cofactor_tensor(M: jax.Array) -> jax.Array:
+    """Cofactor matrix of (*, 3, 3) inputs (reference: essential.py
+    matrix_cofactor_tensor) — adj(M)^T via cross products of columns."""
+    c0 = jnp.cross(M[..., 1], M[..., 2], axis=-1)
+    c1 = jnp.cross(M[..., 2], M[..., 0], axis=-1)
+    c2 = jnp.cross(M[..., 0], M[..., 1], axis=-1)
+    # cofactor(M)[i, j] built from columns: stack as rows of adjugate^T
+    return jnp.stack([c0, c1, c2], axis=-1).swapaxes(-1, -2)
+
+
+def decompose_essential_matrix_no_svd(E_mat: jax.Array
+                                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """SVD-free (R1, R2, t) recovery from E — Horn (1990) baseline/orientation
+    formulas (reference: essential.py:485). TPU-friendly: cross products +
+    one argmax instead of an SVD."""
+    check(E_mat.shape[-2:] == (3, 3), f"E must be (*, 3, 3), got {E_mat.shape}")
+    E = as_float(E_mat).reshape(-1, 3, 3)
+    e1, e2, e3 = E[..., 0], E[..., 1], E[..., 2]
+    scale = jnp.sqrt(0.5 * jnp.sum(E * E, axis=(-1, -2)))
+    crosses = jnp.stack([jnp.cross(e1, e2, axis=-1),
+                         jnp.cross(e2, e3, axis=-1),
+                         jnp.cross(e3, e1, axis=-1)], axis=1)  # (B, 3, 3)
+    norms = jnp.linalg.norm(crosses, axis=-1, keepdims=True)
+    largest = jnp.argmax(norms[..., 0], axis=-1)
+    scaled = scale[:, None, None] * crosses / jnp.maximum(norms, 1e-12)
+    b1 = jnp.take_along_axis(scaled, largest[:, None, None].repeat(3, -1),
+                             axis=1)[:, 0]  # (B, 3)
+    b1_unit = b1 / jnp.maximum(
+        jnp.linalg.norm(b1, axis=-1, keepdims=True), 1e-12)
+    B1 = cross_product_matrix(b1)
+    bb = jnp.sum(b1 * b1, axis=-1)[:, None, None]
+    cof = matrix_cofactor_tensor(E)
+    R1 = (cof - B1 @ E) / jnp.maximum(bb, 1e-12)
+    R2 = (cof - (-B1) @ E) / jnp.maximum(bb, 1e-12)
+    return R1, R2, b1_unit[..., None]
+
+
+__all__ += [
+    "cross_product_matrix", "intrinsics_like", "random_intrinsics",
+    "scale_intrinsics", "projection_from_Rt", "depth_from_point",
+    "get_perpendicular", "get_closest_point_on_epipolar_line",
+    "matrix_cofactor_tensor", "decompose_essential_matrix_no_svd",
+]

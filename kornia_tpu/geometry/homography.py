@@ -202,3 +202,23 @@ def sample_is_valid_for_homography(points1: jax.Array, points2: jax.Array
     sign1 = jnp.sign(orient(p1h))
     sign2 = jnp.sign(orient(p2h))
     return jnp.all(sign1 == sign2, axis=-1)
+
+
+# reference: homography.py:29 — a plain alias for (H, mask) returns
+TupleTensor = Tuple[jax.Array, jax.Array]
+
+
+def find_homography_lines_dlt_iterated(ls1: jax.Array, ls2: jax.Array,
+                                       weights: jax.Array,
+                                       soft_inl_th: float = 4.0,
+                                       n_iter: int = 5) -> jax.Array:
+    """IRLS over the line-segment DLT (reference: homography.py:382)."""
+    H = find_homography_lines_dlt(ls1, ls2, weights)
+    for _ in range(n_iter - 1):
+        errors = line_segment_transfer_error_one_way(ls1, ls2, H, False)
+        w_new = jnp.exp(-errors / (2.0 * soft_inl_th**2))
+        H = find_homography_lines_dlt(ls1, ls2, w_new)
+    return H
+
+
+__all__ += ["TupleTensor", "find_homography_lines_dlt_iterated"]

@@ -65,3 +65,11 @@ def batched_dot_product(x: jax.Array, y: jax.Array, keepdim: bool = False) -> ja
 def euclidean_distance(x: jax.Array, y: jax.Array, keepdim: bool = False,
                        eps: float = 1e-8) -> jax.Array:
     return jnp.sqrt(jnp.sum((x - y) ** 2, axis=-1, keepdims=keepdim) + eps)
+
+
+def batched_squared_norm(x: jax.Array, keepdim: bool = False) -> jax.Array:
+    """Squared L2 norm over the last axis (reference: linalg.py:282)."""
+    return jnp.sum(x * x, axis=-1, keepdims=keepdim)
+
+
+__all__ += ["batched_squared_norm"]

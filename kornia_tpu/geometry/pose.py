@@ -61,3 +61,16 @@ class NamedPose:
 
     def matrix(self) -> jax.Array:
         return self.pose.matrix()
+
+
+def check_matrix_shape(matrix, matrix_type: str = "R") -> None:
+    """Verify a rotation ("R": 2x2|3x3) or rigid-transform ("RT": 3x3|4x4)
+    matrix shape (reference: pose.py:28)."""
+    targets = {"R": ((2, 2), (3, 3)), "RT": ((3, 3), (4, 4))}[matrix_type]
+    if matrix.ndim > 3 or matrix.ndim < 2 or matrix.shape[-2:] not in targets:
+        raise ValueError(
+            f"{matrix_type} must have trailing shape in {targets}, "
+            f"got {matrix.shape}")
+
+
+__all__ += ["check_matrix_shape"]

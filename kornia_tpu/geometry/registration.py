@@ -120,3 +120,21 @@ class ImageRegistrator:
         # homography_warp's H_norm is the NDC version of warp_perspective's
         # pixel M (same src→dst direction), so denormalization suffices
         return denormalize_homography(M_ndc, (h_src, w_src), (H, W))
+
+
+class BaseModel:
+    """Base for parametric warp models (reference: image_registrator.py:33).
+    Subclasses expose n_params / init_params() / matrix(params)."""
+
+    n_params = 0
+
+    @staticmethod
+    def init_params() -> jax.Array:
+        raise NotImplementedError
+
+    @staticmethod
+    def matrix(params: jax.Array) -> jax.Array:
+        raise NotImplementedError
+
+
+__all__ += ["BaseModel"]

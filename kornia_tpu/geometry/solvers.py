@@ -207,3 +207,63 @@ def multiply_deg_two_one_poly(a: jax.Array, b: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
+
+
+def determinant_to_polynomial(A: jax.Array) -> jax.Array:
+    """Degree-10 determinant polynomial of the Nistér 3x13 action matrix
+    (reference: polynomial_solver.py:1898).
+
+    Rows of ``A`` are the three z-elimination equations; per row the 13
+    columns are the coefficients of three polynomials in z of degrees
+    (3, 3, 4): [p0: z^3..1 | p1: z^3..1 | p2: z^4..1]. det of the 3x3
+    polynomial matrix is recovered TPU-style by evaluating the batched 3x3
+    determinant at 11 Chebyshev nodes and applying a precomputed
+    inverse-Vandermonde (no symbolic expansion, fully vmapped).
+
+    Returns (B, 11) coefficients ordered lowest-degree-first, matching the
+    reference's output convention.
+    """
+    import numpy as np
+    A = as_float(A)
+    B = A.shape[0]
+    # Chebyshev nodes on [-1, 1] scaled to radius 2 for conditioning
+    nodes = 2.0 * np.cos(np.pi * (2 * np.arange(11) + 1) / 22.0)
+    V = np.vander(nodes, 11, increasing=True)  # (11, 11)
+    Vinv = jnp.asarray(np.linalg.inv(V), A.dtype)
+    z = jnp.asarray(nodes, A.dtype)  # (11,)
+    zp = jnp.stack([z**3, z**2, z, jnp.ones_like(z)], -1)  # (11, 4)
+    zp4 = jnp.stack([z**4, z**3, z**2, z, jnp.ones_like(z)], -1)  # (11, 5)
+    # evaluate each entry at all nodes: (B, 3, 11)
+    p0 = jnp.einsum("bik,nk->bin", A[:, :, 0:4], zp)
+    p1 = jnp.einsum("bik,nk->bin", A[:, :, 4:8], zp)
+    p2 = jnp.einsum("bik,nk->bin", A[:, :, 8:13], zp4)
+    M = jnp.stack([p0, p1, p2], axis=2)  # (B, 3, 3, 11)
+    det = (M[:, 0, 0] * (M[:, 1, 1] * M[:, 2, 2] - M[:, 1, 2] * M[:, 2, 1])
+           - M[:, 0, 1] * (M[:, 1, 0] * M[:, 2, 2] - M[:, 1, 2] * M[:, 2, 0])
+           + M[:, 0, 2] * (M[:, 1, 0] * M[:, 2, 1] - M[:, 1, 1] * M[:, 2, 0]))
+    return det @ Vinv.T  # (B, 11), increasing degree
+
+
+def null_vector_3x4(A: jax.Array) -> jax.Array:
+    """Unnormalized null vector of a rank-3 (*, 3, 4) matrix via 4D
+    cross-product / cofactor expansion — no SVD
+    (reference: solvers/homogeneous.py:65)."""
+    A = as_float(A)
+
+    def minor(cols):
+        sub = A[..., cols]  # (*, 3, 3)
+        return (sub[..., 0, 0] * (sub[..., 1, 1] * sub[..., 2, 2]
+                                  - sub[..., 1, 2] * sub[..., 2, 1])
+                - sub[..., 0, 1] * (sub[..., 1, 0] * sub[..., 2, 2]
+                                    - sub[..., 1, 2] * sub[..., 2, 0])
+                + sub[..., 0, 2] * (sub[..., 1, 0] * sub[..., 2, 1]
+                                    - sub[..., 1, 1] * sub[..., 2, 0]))
+
+    v0 = minor([1, 2, 3])
+    v1 = -minor([0, 2, 3])
+    v2 = minor([0, 1, 3])
+    v3 = -minor([0, 1, 2])
+    return jnp.stack([v0, v1, v2, v3], axis=-1)
+
+
+__all__ += ["determinant_to_polynomial", "null_vector_3x4"]

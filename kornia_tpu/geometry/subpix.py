@@ -51,13 +51,25 @@ def nms2d(x: jax.Array, kernel_size: Tuple[int, int] = (3, 3),
 
 def nms3d(x: jax.Array, kernel_size: Tuple[int, int, int] = (3, 3, 3),
           mask_only: bool = False) -> jax.Array:
-    """(B, C, D, H, W) NMS (reference: subpix/nms.py:332)."""
+    """(B, C, D, H, W) NMS, STRICTLY greater than every neighbor (center
+    excluded; replicate padding so borders/plateaus die) — exact reference
+    semantics (subpix/nms.py:332 NonMaximaSuppression3d)."""
     x = as_float(x)
     kd, kh, kw = kernel_size
-    pooled = lax.reduce_window(
-        x, -jnp.inf, lax.max, (1, 1, kd, kh, kw), (1, 1, 1, 1, 1), "SAME"
-    )
-    mask = x == pooled
+    B, C, D, H, W = x.shape
+    xp = jnp.pad(x, [(0, 0), (0, 0), (kd // 2, (kd - 1) // 2),
+                     (kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2)],
+                 mode="edge")
+    max_non_center = jnp.full_like(x, -jnp.inf)
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx in range(kw):
+                if dz == kd // 2 and dy == kh // 2 and dx == kw // 2:
+                    continue
+                tap = lax.dynamic_slice(xp, (0, 0, dz, dy, dx),
+                                        (B, C, D, H, W))
+                max_non_center = jnp.maximum(max_non_center, tap)
+    mask = x > max_non_center
     if mask_only:
         return mask
     return x * mask.astype(x.dtype)
@@ -263,3 +275,164 @@ def conv_quad_interp3d(x: jax.Array, strict_maxima_bonus: float = 10.0,
     cs = jnp.broadcast_to(zs, (B, C, D, H, W)) + offset[..., 2]
     coords = jnp.stack([cx, cy, cs], axis=2)
     return coords, y_refined
+
+
+def nms3d_minmax(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Strict local-maxima AND local-minima 3x3x3 NMS masks in one pass
+    (reference: subpix/nms.py:341). Borders/plateaus die (replicate pad +
+    strict comparison), matching the 26-neighbour strict semantics."""
+    x = as_float(x)
+    B, C, D, H, W = x.shape
+    xp = jnp.pad(x, [(0, 0), (0, 0), (1, 1), (1, 1), (1, 1)], mode="edge")
+    max_n = jnp.full_like(x, -jnp.inf)
+    min_n = jnp.full_like(x, jnp.inf)
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                if dz == 1 and dy == 1 and dx == 1:
+                    continue
+                tap = lax.dynamic_slice(xp, (0, 0, dz, dy, dx),
+                                        (B, C, D, H, W))
+                max_n = jnp.maximum(max_n, tap)
+                min_n = jnp.minimum(min_n, tap)
+    return x > max_n, x < min_n
+
+
+def _solve_sym3x3(dxx, dyy, dss, dxy, dxs, dys, bx, by, bs, eps=1e-12):
+    """Cramer solve of the symmetric 3x3 Hessian system, batched over any
+    shape. Returns (sx, sy, ss, solved_mask)."""
+    det = (dxx * (dyy * dss - dys * dys) - dxy * (dxy * dss - dys * dxs)
+           + dxs * (dxy * dys - dyy * dxs))
+    ok = jnp.abs(det) > eps
+    safe = jnp.where(ok, det, 1.0)
+    det_x = (bx * (dyy * dss - dys * dys) - dxy * (by * dss - dys * bs)
+             + dxs * (by * dys - dyy * bs))
+    det_y = (dxx * (by * dss - dys * bs) - bx * (dxy * dss - dys * dxs)
+             + dxs * (dxy * bs - by * dxs))
+    det_s = (dxx * (dyy * bs - by * dys) - dxy * (dxy * bs - by * dxs)
+             + bx * (dxy * dys - dyy * dxs))
+    z = jnp.zeros_like(det)
+    return (jnp.where(ok, det_x / safe, z), jnp.where(ok, det_y / safe, z),
+            jnp.where(ok, det_s / safe, z), ok)
+
+
+def iterative_quad_interp3d(x: jax.Array, n_iters: int = 5,
+                            strict_maxima_bonus: float = 10.0,
+                            max_subpixel_shift: float = 0.6,
+                            allow_scale_steps: bool = True,
+                            precomputed_nms_mask: Optional[jax.Array] = None,
+                            max_candidates: Optional[int] = None
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Iterative (HessAff/SIFT-style) subpixel 3D extremum localization
+    (reference: subpix/spatial_soft_argmax.py:996).
+
+    TPU formulation: instead of the reference's data-dependent candidate
+    gather (``torch.where`` on the NMS mask → dynamic shapes), refinement
+    runs DENSELY at every voxel with static shapes and the NMS mask selects
+    outputs at the end — identical results, jit/vmap/grad-closed.
+    ``max_candidates`` is accepted for API parity but ignored (the dense
+    pass already covers all candidates in fixed time).
+
+    Returns (coords (B, C, 3, D, H, W) ordered [scale, x, y], values).
+    """
+    x = as_float(x)
+    check(x.ndim == 5, f"expected (B, C, D, H, W), got {x.shape}")
+    B, C, D, H, W = x.shape
+    zs = jnp.arange(D, dtype=x.dtype).reshape(D, 1, 1)
+    ys = jnp.arange(H, dtype=x.dtype).reshape(1, H, 1)
+    xs = jnp.arange(W, dtype=x.dtype).reshape(1, 1, W)
+    grid_coords = jnp.stack([
+        jnp.broadcast_to(zs, (B, C, D, H, W)),
+        jnp.broadcast_to(xs, (B, C, D, H, W)),
+        jnp.broadcast_to(ys, (B, C, D, H, W))], axis=2)
+    if D < 3 or H < 3 or W < 3:
+        return grid_coords, x
+
+    nms = (precomputed_nms_mask if precomputed_nms_mask is not None
+           else nms3d(x, (3, 3, 3), True))
+    inp = x.reshape(B * C, D, H, W)
+    di = jnp.broadcast_to(jnp.arange(D).reshape(D, 1, 1), (D, H, W))
+    hi = jnp.broadcast_to(jnp.arange(H).reshape(1, H, 1), (D, H, W))
+    wi = jnp.broadcast_to(jnp.arange(W).reshape(1, 1, W), (D, H, W))
+    d_cur = jnp.broadcast_to(di, inp.shape)
+    h_cur = jnp.broadcast_to(hi, inp.shape)
+    w_cur = jnp.broadcast_to(wi, inp.shape)
+    shift = jnp.zeros((3,) + inp.shape, x.dtype)  # (3=[s,x,y], BC, D, H, W)
+    gds = jnp.zeros_like(inp)
+    valid = jnp.ones(inp.shape, bool)
+
+    def tap(dc, hc, wc, dz, dy, dx):
+        zz = jnp.clip(dc + dz, 0, D - 1)
+        yy = jnp.clip(hc + dy, 0, H - 1)
+        xx = jnp.clip(wc + dx, 0, W - 1)
+        return jnp.take_along_axis(
+            inp.reshape(B * C, -1),
+            (zz * (H * W) + yy * W + xx).reshape(B * C, -1),
+            axis=1).reshape(inp.shape)
+
+    def body(i, carry):
+        d_cur, h_cur, w_cur, shift, gds, valid = carry
+        dc = jnp.clip(d_cur, 1, D - 2)
+        hc = jnp.clip(h_cur, 1, H - 2)
+        wc = jnp.clip(w_cur, 1, W - 2)
+        c000 = tap(dc, hc, wc, 0, 0, 0)
+        p_xm, p_xp = tap(dc, hc, wc, 0, 0, -1), tap(dc, hc, wc, 0, 0, 1)
+        p_ym, p_yp = tap(dc, hc, wc, 0, -1, 0), tap(dc, hc, wc, 0, 1, 0)
+        p_sm, p_sp = tap(dc, hc, wc, -1, 0, 0), tap(dc, hc, wc, 1, 0, 0)
+        gx = 0.5 * (p_xp - p_xm)
+        gy = 0.5 * (p_yp - p_ym)
+        gs = 0.5 * (p_sp - p_sm)
+        dxx = p_xp - 2 * c000 + p_xm
+        dyy = p_yp - 2 * c000 + p_ym
+        dss = p_sp - 2 * c000 + p_sm
+        dxy = 0.25 * (tap(dc, hc, wc, 0, 1, 1) - tap(dc, hc, wc, 0, 1, -1)
+                      - tap(dc, hc, wc, 0, -1, 1) + tap(dc, hc, wc, 0, -1, -1))
+        dxs = 0.25 * (tap(dc, hc, wc, 1, 0, 1) - tap(dc, hc, wc, 1, 0, -1)
+                      - tap(dc, hc, wc, -1, 0, 1) + tap(dc, hc, wc, -1, 0, -1))
+        dys = 0.25 * (tap(dc, hc, wc, 1, 1, 0) - tap(dc, hc, wc, 1, -1, 0)
+                      - tap(dc, hc, wc, -1, 1, 0) + tap(dc, hc, wc, -1, -1, 0))
+        sx, sy, ss, ok = _solve_sym3x3(dxx, dyy, dss, dxy, dxs, dys,
+                                       -gx, -gy, -gs)
+        valid = valid & ok
+        vf = valid.astype(x.dtype)
+        sx, sy, ss = sx * vf, sy * vf, ss * vf
+        shift = jnp.where(valid[None], jnp.stack([ss, sx, sy]), shift)
+        gds = jnp.where(valid, gx * sx + gy * sy + gs * ss, gds)
+        new_w = w_cur + (valid & (sx > max_subpixel_shift)).astype(jnp.int32) \
+            - (valid & (sx < -max_subpixel_shift)).astype(jnp.int32)
+        valid = valid & (new_w >= 1) & (new_w <= W - 2)
+        w_cur = jnp.clip(new_w, 0, W - 1)
+        new_h = h_cur + (valid & (sy > max_subpixel_shift)).astype(jnp.int32) \
+            - (valid & (sy < -max_subpixel_shift)).astype(jnp.int32)
+        valid = valid & (new_h >= 1) & (new_h <= H - 2)
+        h_cur = jnp.clip(new_h, 0, H - 1)
+        if allow_scale_steps:
+            new_d = d_cur \
+                + (valid & (ss > max_subpixel_shift)).astype(jnp.int32) \
+                - (valid & (ss < -max_subpixel_shift)).astype(jnp.int32)
+            valid = valid & (new_d >= 1) & (new_d <= D - 2)
+            d_cur = jnp.clip(new_d, 0, D - 1)
+        return d_cur, h_cur, w_cur, shift, gds, valid
+
+    d_cur, h_cur, w_cur, shift, gds, valid = lax.fori_loop(
+        0, n_iters, body, (d_cur, h_cur, w_cur, shift, gds, valid))
+    valid = valid & (jnp.abs(shift) <= 1.5).all(axis=0)
+    fdt = x.dtype
+    final_s = jnp.where(valid, d_cur.astype(fdt) + shift[0],
+                        di.astype(fdt))
+    final_x = jnp.where(valid, w_cur.astype(fdt) + shift[1],
+                        wi.astype(fdt))
+    final_y = jnp.where(valid, h_cur.astype(fdt) + shift[2],
+                        hi.astype(fdt))
+    refined = jnp.stack([final_s, final_x, final_y],
+                        axis=1).reshape(B, C, 3, D, H, W)
+    coords = jnp.where(nms[:, :, None], refined, grid_coords)
+    val_center = tap(d_cur, h_cur, w_cur, 0, 0, 0)
+    y_ref = val_center + 0.5 * jnp.where(valid, gds, 0.0)
+    if strict_maxima_bonus > 0:
+        y_ref = y_ref + strict_maxima_bonus * valid.astype(fdt)
+    y_max = jnp.where(nms, y_ref.reshape(B, C, D, H, W), x)
+    return coords, y_max
+
+
+__all__ += ["nms3d_minmax", "iterative_quad_interp3d"]

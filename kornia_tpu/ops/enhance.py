@@ -23,7 +23,7 @@ __all__ = [
     "adjust_brightness_accumulative",
     "adjust_contrast",
     "adjust_contrast_with_mean_subtraction",
-    "adjust_saturation",
+    "adjust_saturation", "adjust_saturation_with_gray_subtraction",
     "adjust_hue",
     "adjust_gamma",
     "adjust_sigmoid",

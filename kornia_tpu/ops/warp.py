@@ -796,3 +796,49 @@ def vflip(image: jax.Array) -> jax.Array:
 
 def rot180(image: jax.Array) -> jax.Array:
     return jnp.flip(image, axis=(-2, -1))
+
+
+def crop_by_transform_mat(image: jax.Array, transform: jax.Array,
+                          out_size: Tuple[int, int], mode: str = "bilinear",
+                          padding_mode: str = "zeros",
+                          align_corners: bool = True) -> jax.Array:
+    """warp_affine with a (B, 3, 3) crop transform (reference:
+    crop2d.py:274)."""
+    image = as_float(image)
+    M = jnp.broadcast_to(as_float(transform),
+                         (image.shape[0], 3, 3)).astype(image.dtype)
+    return warp_affine(image, M[:, :2, :], out_size, mode, padding_mode,
+                       align_corners)
+
+
+def resize_to_be_divisible(image: jax.Array, divisible_factor: int,
+                           interpolation: str = "bilinear",
+                           align_corners: Optional[bool] = None,
+                           side: str = "short",
+                           antialias: bool = False) -> jax.Array:
+    """Resize so H and W are multiples of `divisible_factor`
+    (reference: affwarp.py:636)."""
+    H, W = image.shape[-2:]
+    h = round(H / divisible_factor) * divisible_factor
+    w = round(W / divisible_factor) * divisible_factor
+    return resize(image, (h, w), interpolation, align_corners, side,
+                  antialias)
+
+
+__all__ += ["crop_by_transform_mat", "resize_to_be_divisible"]
+
+
+class BaseWarper:
+    """Warper interface (reference: homography_warper.py:34 BaseWarper)."""
+
+    def __init__(self, height: int, width: int):
+        self.height = height
+        self.width = width
+
+    def __call__(self, patch_src, src_homo_dst):
+        raise NotImplementedError
+
+    forward = __call__
+
+
+__all__ += ["BaseWarper"]

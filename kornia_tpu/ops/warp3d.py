@@ -211,3 +211,158 @@ def center_crop3d(src: jax.Array, size: Tuple[int, int, int]) -> jax.Array:
     D, H, W = src.shape[-3:]
     d, h, w = size
     return crop3d(src, ((D - d) // 2, (H - h) // 2, (W - w) // 2), size)
+
+
+# -----------------------------------------------------------------------------
+# 3D transform factories / warps completing the reference surface
+# (reference: imgwarp.py:331,805,852,1100,1445; crop3d.py:29,351)
+# -----------------------------------------------------------------------------
+
+def warp_grid3d(grid: jax.Array, src_homo_dst: jax.Array) -> jax.Array:
+    """Transform a (1|B, D, H, W, 3) grid by (B, 4, 4) homographies
+    (reference: imgwarp.py:331)."""
+    B = src_homo_dst.shape[0]
+    D, H, W = grid.shape[-4:-1]
+    pts = jnp.broadcast_to(grid.reshape(-1, D * H * W, 3),
+                           (B, D * H * W, 3)).astype(src_homo_dst.dtype)
+    ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+    out = jnp.einsum("bij,bnj->bni", src_homo_dst, ph)
+    w_ = out[..., 3:4]
+    out = out[..., :3] / jnp.where(jnp.abs(w_) > 1e-8, w_, 1e-8)
+    return out.reshape(B, D, H, W, 3)
+
+
+def homography_warp3d(patch_src: jax.Array, src_homo_dst: jax.Array,
+                      dsize: Tuple[int, int, int], mode: str = "bilinear",
+                      padding_mode: str = "zeros",
+                      align_corners: bool = False,
+                      normalized_coordinates: bool = True) -> jax.Array:
+    """Warp (B, C, D, H, W) by NORMALIZED-coordinate 3D homographies
+    (reference: imgwarp.py:1445)."""
+    patch_src = as_float(patch_src)
+    D, H, W = dsize
+    grid = create_meshgrid3d(D, H, W, normalized_coordinates,
+                             patch_src.dtype)
+    warped = warp_grid3d(grid, src_homo_dst.astype(patch_src.dtype))
+    return grid_sample3d(patch_src, warped, mode, padding_mode,
+                         align_corners)
+
+
+def get_perspective_transform3d(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """(B, 4, 4) projective transform from 5 of the 8 box-corner
+    correspondences — indices (0, 1, 2, 5, 7), matching the reference's
+    15x15 linear system exactly (reference: imgwarp.py:1100)."""
+    src = as_float(src)
+    dst = as_float(dst).astype(src.dtype)
+    check(src.shape[-2:] == (8, 3) and src.shape == dst.shape,
+          f"expected (B, 8, 3) pairs, got {src.shape} / {dst.shape}")
+    B = src.shape[0]
+    idx = jnp.array([0, 1, 2, 5, 7])
+    s = src[:, idx]  # (B, 5, 3)
+    d = dst[:, idx]
+    ones = jnp.ones_like(s[..., :1])
+    sh = jnp.concatenate([s, ones], axis=-1)  # (B, 5, 4)
+    zeros = jnp.zeros_like(sh)
+
+    def rows(axis):
+        # [s 1 | 0 | 0 | -s*d_axis] with the (s 1) block at position `axis`
+        blocks = [zeros, zeros, zeros]
+        blocks[axis] = sh
+        return jnp.concatenate(blocks + [-s * d[..., axis:axis + 1]], axis=-1)
+
+    A = jnp.concatenate([rows(0), rows(1), rows(2)], axis=1)  # (B, 15, 15)
+    b = jnp.concatenate([d[..., 0], d[..., 1], d[..., 2]], axis=1)[..., None]
+    X = jnp.linalg.solve(A, b)[..., 0]  # (B, 15)
+    M = jnp.concatenate([X, jnp.ones((B, 1), src.dtype)], axis=-1)
+    return M.reshape(B, 4, 4)
+
+
+def _shear_matrix3d_entries(sxy, sxz, syx, syz, szx, szy):
+    """(reference: imgwarp.py:_compute_shear_matrix_3d)."""
+    ones = jnp.ones_like(sxy)
+    m00, m10, m20 = ones, sxy, sxz
+    m01 = syx
+    m11 = sxy * syx + ones
+    m21 = sxz * syx + syz
+    m02 = syx * szy + szx
+    m12 = sxy * szx + szy * m11
+    m22 = sxz * szx + szy * m21 + ones
+    return m00, m10, m20, m01, m11, m21, m02, m12, m22
+
+
+def get_shear_matrix3d(center: jax.Array, sxy=None, sxz=None, syx=None,
+                       syz=None, szx=None, szy=None) -> jax.Array:
+    """(B, 4, 4) ordered 3D shear about a center, angles in radians
+    (reference: imgwarp.py:852)."""
+    center = as_float(center)
+    B = center.shape[0]
+    z = jnp.zeros((B,), center.dtype)
+    vals = [jnp.broadcast_to(jnp.asarray(v, center.dtype), (B,))
+            if v is not None else z for v in (sxy, sxz, syx, syz, szx, szy)]
+    sxy_t, sxz_t, syx_t, syz_t, szx_t, szy_t = [jnp.tan(v) for v in vals]
+    x, y, zc = center[:, 0], center[:, 1], center[:, 2]
+    # translation offsets from the POSITIVE-tan entries
+    m00, m10, m20, m01, m11, m21, m02, m12, m22 = _shear_matrix3d_entries(
+        sxy_t, sxz_t, syx_t, syz_t, szx_t, szy_t)
+    m03 = m01 * y + m02 * zc
+    m13 = m10 * x + m11 * y + m12 * zc - y
+    m23 = m20 * x + m21 * y + m22 * zc - zc
+    # linear part from the NEGATIVE-tan entries (reference convention)
+    m00, m10, m20, m01, m11, m21, m02, m12, m22 = _shear_matrix3d_entries(
+        -sxy_t, -sxz_t, -syx_t, -syz_t, -szx_t, -szy_t)
+    rows = jnp.stack([m00, m01, m02, m03,
+                      m10, m11, m12, m13,
+                      m20, m21, m22, m23], axis=-1).reshape(B, 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.array([[[0.0, 0, 0, 1.0]]], center.dtype), (B, 1, 4))
+    return jnp.concatenate([rows, bottom], axis=1)
+
+
+def get_affine_matrix3d(translations: jax.Array, center: jax.Array,
+                        scale: jax.Array, angles: jax.Array,
+                        sxy=None, sxz=None, syx=None, syz=None,
+                        szx=None, szy=None) -> jax.Array:
+    """(B, 4, 4) affine from translation/center/scale/axis-angle-degrees
+    (+ optional shears) (reference: imgwarp.py:805)."""
+    M = get_projective_transform(center, -as_float(angles), scale)  # (B, 3, 4)
+    M = M.at[..., 3].add(as_float(translations))
+    B = M.shape[0]
+    bottom = jnp.broadcast_to(
+        jnp.array([[[0.0, 0, 0, 1.0]]], M.dtype), (B, 1, 4))
+    M4 = jnp.concatenate([M, bottom], axis=1)
+    if any(s is not None for s in (sxy, sxz, syx, syz, szx, szy)):
+        M4 = M4 @ get_shear_matrix3d(center, sxy, sxz, syx, syz, szx, szy)
+    return M4
+
+
+def crop_and_resize3d(src: jax.Array, boxes: jax.Array,
+                      size: Tuple[int, int, int],
+                      interpolation: str = "bilinear",
+                      align_corners: bool = False) -> jax.Array:
+    """Extract (B, 8, 3)-vertex sub-volumes and resize to `size`
+    (reference: crop3d.py:29)."""
+    d, h, w = size
+    dst = jnp.array(
+        [[0, 0, 0], [w - 1, 0, 0], [w - 1, h - 1, 0], [0, h - 1, 0],
+         [0, 0, d - 1], [w - 1, 0, d - 1], [w - 1, h - 1, d - 1],
+         [0, h - 1, d - 1]], jnp.float32)
+    dst = jnp.broadcast_to(dst, (boxes.shape[0], 8, 3))
+    return crop_by_boxes3d(src, boxes, dst, size)
+
+
+def crop_by_transform_mat3d(src: jax.Array, transform: jax.Array,
+                            out_size: Tuple[int, int, int],
+                            mode: str = "bilinear",
+                            padding_mode: str = "zeros",
+                            align_corners: bool = True) -> jax.Array:
+    """warp_affine3d with a (B, 4, 4) crop transform (reference:
+    crop3d.py:351)."""
+    return warp_affine3d(src, as_float(transform)[:, :3, :], out_size, mode,
+                         padding_mode, align_corners)
+
+
+__all__ += [
+    "warp_grid3d", "homography_warp3d", "get_perspective_transform3d",
+    "get_shear_matrix3d", "get_affine_matrix3d", "crop_and_resize3d",
+    "crop_by_transform_mat3d",
+]

@@ -6,6 +6,10 @@ from .geometry.camera import (  # noqa: F401
     StereoCamera,
     distort_points_affine,
     distort_points_kannala_brandt,
+    dx_distort_points_affine,
+    dx_distort_points_kannala_brandt,
+    dx_project_points_orthographic,
+    dx_project_points_z1,
     project_points,
     project_points_orthographic,
     project_points_z1,
