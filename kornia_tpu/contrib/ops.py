@@ -241,3 +241,41 @@ class KMeans:
     def predict(self, x: jax.Array) -> jax.Array:
         d2 = jnp.sum((x[:, None, :] - self.cluster_centers[None]) ** 2, axis=-1)
         return jnp.argmin(d2, axis=-1)
+
+
+def compute_padding(original_size, window_size, stride=None):
+    """(top, bottom, left, right) padding so extract→combine round-trips
+    (reference: contrib/extract_patches.py:52)."""
+    def pair(v):
+        return (v, v) if isinstance(v, int) else tuple(v)
+    oh, ow = pair(original_size)
+    wh, ww = pair(window_size)
+    sh, sw = pair(stride if stride is not None else window_size)
+    rv = (oh - wh) % sh
+    rh = (ow - ww) % sw
+    vp = sh - rv if rv else 0
+    hp = sw - rh if rh else 0
+    top, left = vp // 2, hp // 2
+    return (top, vp - top, left, hp - left)
+
+
+def interp(x: jax.Array, xp: jax.Array, fp: jax.Array) -> jax.Array:
+    """1D linear interpolation, numpy.interp semantics
+    (reference: contrib/histogram_matching.py:64)."""
+    return jnp.interp(as_float(x), as_float(xp), as_float(fp))
+
+
+class Lambda:
+    """Wrap any callable as a module (reference:
+    contrib/lambda_module.py:24)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, *args, **kwargs):
+        return self.fn(*args, **kwargs)
+
+    forward = __call__
+
+
+__all__ += ["compute_padding", "interp", "Lambda"]

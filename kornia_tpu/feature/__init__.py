@@ -63,3 +63,31 @@ from .responses import (
     hessian_response,
 )
 from .siftdesc import DenseSIFTDescriptor, SIFTDescriptor
+from .mkd import (  # noqa: F401
+    EmbedGradients,
+    ExplicitSpacialEncoding,
+    MKDDescriptor,
+    MKDGradients,
+    SimpleKD,
+    VonMisesKernel,
+    Whitening,
+)
+from .extras import (  # noqa: F401
+    ALIKEDFeatures,
+    BlobDoG,
+    BlobDoGSingle,
+    BlobHessian,
+    CornerGFTT,
+    CornerHarris,
+    FilterResponseNorm2d,
+    GeometryAwareDescriptorMatcher,
+    HardNet8,
+    InterpolateSparse2d,
+    KORNIA_CHECK_LAF,
+    LightGlueMatcher,
+    PatchDominantGradientOrientation,
+    TLU,
+    XFeatModel,
+    get_laf_descriptors,
+    match_adalam,
+)

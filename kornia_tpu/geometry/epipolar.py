@@ -929,13 +929,13 @@ def get_closest_point_on_epipolar_line(pts1: jax.Array, pts2: jax.Array,
 
 
 def matrix_cofactor_tensor(M: jax.Array) -> jax.Array:
-    """Cofactor matrix of (*, 3, 3) inputs (reference: essential.py
-    matrix_cofactor_tensor) — adj(M)^T via cross products of columns."""
+    """Cofactor matrix C = det(M)·M⁻ᵀ of (*, 3, 3) inputs, via cross
+    products of columns — works for singular matrices like E, unlike the
+    reference's inverse-based route (numeric.py:49)."""
     c0 = jnp.cross(M[..., 1], M[..., 2], axis=-1)
     c1 = jnp.cross(M[..., 2], M[..., 0], axis=-1)
     c2 = jnp.cross(M[..., 0], M[..., 1], axis=-1)
-    # cofactor(M)[i, j] built from columns: stack as rows of adjugate^T
-    return jnp.stack([c0, c1, c2], axis=-1).swapaxes(-1, -2)
+    return jnp.stack([c0, c1, c2], axis=-1)
 
 
 def decompose_essential_matrix_no_svd(E_mat: jax.Array

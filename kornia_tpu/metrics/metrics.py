@@ -214,3 +214,56 @@ def rpe(poses_est: jax.Array, poses_gt: jax.Array, delta: int = 1
                    -1.0, 1.0)
     rot = jnp.arccos(cos)
     return (jnp.sqrt(jnp.mean(trans**2)), jnp.sqrt(jnp.mean(rot**2)))
+
+
+# -----------------------------------------------------------------------------
+# Disparity metrics (reference: metrics/disparity.py:67,119,169)
+# -----------------------------------------------------------------------------
+
+def _masked_reduce(err: jax.Array, valid_mask, reduction: str) -> jax.Array:
+    if valid_mask is not None:
+        m = jnp.broadcast_to(jnp.asarray(valid_mask) != 0, err.shape)
+        err = jnp.where(m, err, 0.0)
+        denom = jnp.maximum(jnp.sum(m), 1)
+    else:
+        denom = err.size
+    if reduction == "none":
+        return err
+    s = jnp.sum(err)
+    return s / denom if reduction == "mean" else s
+
+
+def mean_absolute_disparity_error(input: jax.Array, target: jax.Array,
+                                  valid_mask=None,
+                                  reduction: str = "mean") -> jax.Array:
+    """Masked disparity MAE (reference: disparity.py:67)."""
+    return _masked_reduce(jnp.abs(as_float(input) - as_float(target)),
+                          valid_mask, reduction)
+
+
+def root_mean_squared_disparity_error(input: jax.Array, target: jax.Array,
+                                      valid_mask=None,
+                                      reduction: str = "mean") -> jax.Array:
+    """Masked disparity RMSE (reference: disparity.py:119)."""
+    out = _masked_reduce((as_float(input) - as_float(target)) ** 2,
+                         valid_mask, reduction)
+    return jnp.sqrt(out) if reduction != "none" else out
+
+
+def mean_bad_pixel_error(input: jax.Array, target: jax.Array,
+                         threshold: float = 3.0, valid_mask=None,
+                         reduction: str = "mean") -> jax.Array:
+    """Fraction of pixels with |err| > threshold — Middlebury/KITTI bad-pixel
+    ratio as a fraction (reference: disparity.py:169)."""
+    bad = (jnp.abs(as_float(input) - as_float(target))
+           > threshold).astype(jnp.float32)
+    return _masked_reduce(bad, valid_mask, reduction)
+
+
+# reference: metrics/endpoint_error.py — aepe's modern alias
+average_endpoint_error = aepe
+
+__all__ += [
+    "mean_absolute_disparity_error", "root_mean_squared_disparity_error",
+    "mean_bad_pixel_error", "average_endpoint_error",
+]
