@@ -32,3 +32,18 @@ from .volumetric import (
     RandomRotation3D,
     RandomVerticalFlip3D,
 )
+from .base import RigidAffineAugmentationBase2D  # noqa: F401
+from .mix import (  # noqa: F401
+    MixAugmentationBaseV2,
+    PatchMix,
+    RandomPatchMix,
+    RandomTransplantation3D,
+)
+from .volumetric import (  # noqa: F401
+    AugmentationBase3D,
+    GeometricAugmentationBase3D,
+    IntensityAugmentationBase3D,
+    RandomMotionBlur3D,
+    RandomPerspective3D,
+    RigidAffineAugmentationBase3D,
+)

@@ -130,3 +130,11 @@ class GeometricAugmentationBase2D(AugmentationBase2D):
         M = self.transform_matrix(x, params)
         H, W = x.shape[-2:]
         return warp_perspective(x, inverse_3x3(M), (H, W), align_corners=True)
+
+
+class RigidAffineAugmentationBase2D(GeometricAugmentationBase2D):
+    """Ops whose transform is a rigid/affine 3x3 (reference:
+    _2d/base.py:67 RigidAffineAugmentationBase2D)."""
+
+
+__all__ += ["RigidAffineAugmentationBase2D"]

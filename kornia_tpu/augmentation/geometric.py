@@ -431,3 +431,43 @@ class RandomFisheye(GeometricAugmentationBase2D):
         g = params["gamma"][:, None, None, None]
         warped = c + d * jnp.power(jnp.maximum(r, 1e-6), g - 1.0)
         return grid_sample(x, warped, "bilinear", "zeros", True)
+
+
+class PadTo(GeometricAugmentationBase2D):
+    """Pad the sample to a fixed (height, width); always applies (p=1) and
+    inverts by cropping (reference: _2d/geometric/pad.py:26)."""
+
+    def __init__(self, size: Tuple[int, int], pad_mode: str = "constant",
+                 pad_value: float = 0.0, keepdim: bool = False, **kw):
+        kw["p"] = 1.0
+        kw["p_batch"] = 1.0
+        super().__init__(**kw)
+        self.size = (int(size[0]), int(size[1]))
+        self.pad_mode = pad_mode
+        self.pad_value = float(pad_value)
+        self._in_hw: Optional[Tuple[int, int]] = None
+
+    def __call__(self, x, key=None, params=None):
+        from ..core.dtype import as_float
+        x = as_float(x)
+        H, W = x.shape[-2:]
+        self._in_hw = (H, W)
+        ph = max(self.size[0] - H, 0)
+        pw = max(self.size[1] - W, 0)
+        mode = {"constant": "constant", "replicate": "edge",
+                "reflect": "reflect", "circular": "wrap"}[self.pad_mode]
+        pad_cfg = [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)]
+        if mode == "constant":
+            return jnp.pad(x, pad_cfg, constant_values=self.pad_value)
+        return jnp.pad(x, pad_cfg, mode=mode)
+
+    forward = __call__
+
+    def inverse(self, x, params=None):
+        if self._in_hw is None:
+            return x
+        H, W = self._in_hw
+        return x[..., :H, :W]
+
+
+__all__ += ["PadTo"]

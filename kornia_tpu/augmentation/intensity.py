@@ -585,3 +585,194 @@ class RandomDissolving(IntensityAugmentationBase2D):
 
     def apply(self, x, params):
         return self._dslv.dissolve(x, params["step"][0])
+
+
+class RandomSnow(IntensityAugmentationBase2D):
+    """Brighten dark L-channel regions to simulate snow (reference:
+    _2d/intensity/random_snow.py:28 — HLS threshold + brightness gain)."""
+
+    def __init__(self, snow_coefficient=(0.5, 0.5), brightness=(2.0, 2.0),
+                 **kw):
+        kw.setdefault("p", 1.0)
+        super().__init__(**kw)
+        self.snow_rng = _as_range(snow_coefficient, (0.5, 0.5))
+        self.bright_rng = _as_range(brightness, (2.0, 2.0))
+
+    def sample_params(self, key, batch, shape):
+        k1, k2 = jax.random.split(key)
+        # reference squeezes the coefficient toward 0.5: x/2 + 0.25
+        # (PlainUniformGenerator center=0.5 bounds=(0,1) semantics)
+        snow = self._uniform(k1, batch, *self.snow_rng)
+        return {"snow_coefficient": snow,
+                "brightness": self._uniform(k2, batch, *self.bright_rng)}
+
+    def apply(self, x, params):
+        hls = C.rgb_to_hls(x)
+        snow = params["snow_coefficient"][:, None, None]
+        bright = params["brightness"][:, None, None, None]
+        light = hls[:, 1]
+        mask = (light < snow).astype(x.dtype)[:, None]
+        mask = mask * jnp.array([0.0, 1.0, 0.0]).reshape(1, 3, 1, 1)
+        new = jnp.clip(hls * mask * bright, 0.0, 1.0)
+        return C.hls_to_rgb(hls * (1.0 - mask) + new)
+
+
+class RandomRain(IntensityAugmentationBase2D):
+    """Draw random rain streaks (value 200/255) (reference:
+    _2d/intensity/random_rain.py:29).
+
+    TPU formulation: the reference python-loops over images, drops, and
+    line pixels with dynamic sizes; here every image scatters a fixed
+    (max_drops, max_line_len) coordinate lattice in one `.at[].set`,
+    with masks deactivating drops beyond the sampled count."""
+
+    def __init__(self, number_of_drops=(1000, 2000), drop_height=(5, 20),
+                 drop_width=(-5, 5), **kw):
+        super().__init__(**kw)
+        self.n_rng = (int(number_of_drops[0]), int(number_of_drops[1]))
+        self.h_rng = (int(drop_height[0]), int(drop_height[1]))
+        self.w_rng = (int(drop_width[0]), int(drop_width[1]))
+
+    def sample_params(self, key, batch, shape):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        nmax = self.n_rng[1]
+        return {
+            "n": jax.random.randint(k1, (batch,), self.n_rng[0],
+                                    self.n_rng[1] + 1),
+            "height": jax.random.randint(k2, (batch,), self.h_rng[0],
+                                         self.h_rng[1] + 1),
+            "width": jax.random.randint(k3, (batch,), self.w_rng[0],
+                                        self.w_rng[1] + 1),
+            "coords": jax.random.uniform(k4, (batch, nmax, 2)),
+        }
+
+    def apply(self, x, params):
+        B, Cc, H, W = x.shape
+        nmax = params["coords"].shape[1]
+        lmax = max(self.h_rng[1], abs(self.w_rng[0]), abs(self.w_rng[1]), 1)
+        h = params["height"].astype(x.dtype)  # (B,)
+        w = params["width"].astype(x.dtype)
+        cy = params["coords"][..., 0] * (H - h[:, None] - 1.0)
+        cx = jnp.where(
+            (w > 0)[:, None],
+            params["coords"][..., 1] * (W - w[:, None] - 1.0),
+            params["coords"][..., 1] * (W + w[:, None] - 1.0) - w[:, None])
+        t = jnp.linspace(0.0, 1.0, lmax)  # (L,)
+        yy = (cy[..., None] + jnp.floor(t * h[:, None, None])).astype(jnp.int32)
+        xx = (cx[..., None] + jnp.floor(t * w[:, None, None])).astype(jnp.int32)
+        drop_ok = (jnp.arange(nmax)[None] < params["n"][:, None])[..., None]
+        yy = jnp.clip(yy, 0, H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        flat_idx = yy * W + xx  # (B, N, L)
+        val = jnp.asarray(200.0 / 255.0, x.dtype)
+
+        def paint(img_flat, idx, ok):
+            # img_flat (C, H*W); idx (N, L); masked scatter
+            idx = jnp.where(ok, idx, H * W)  # out-of-range rows dropped
+            return img_flat.at[:, idx.reshape(-1)].set(
+                val, mode="drop", unique_indices=False)
+
+        out = jax.vmap(paint)(x.reshape(B, Cc, H * W), flat_idx, drop_ok)
+        return out.reshape(B, Cc, H, W)
+
+
+class RandomGaussianIllumination(IntensityAugmentationBase2D):
+    """Additive 2D gaussian illumination (reference:
+    _2d/intensity/gaussian_illumination.py:27)."""
+
+    def __init__(self, gain=(0.01, 0.15), center=(0.1, 0.9),
+                 sigma=(0.2, 1.0), sign=(-1.0, 1.0), **kw):
+        super().__init__(**kw)
+        self.gain_rng = _as_range(gain, (0.01, 0.15))
+        self.center_rng = _as_range(center, (0.1, 0.9))
+        self.sigma_rng = _as_range(sigma, (0.2, 1.0))
+        self.sign_rng = _as_range(sign, (-1.0, 1.0))
+
+    def sample_params(self, key, batch, shape):
+        ks = jax.random.split(key, 6)
+        return {
+            "gain": self._uniform(ks[0], batch, *self.gain_rng),
+            "cx": self._uniform(ks[1], batch, *self.center_rng),
+            "cy": self._uniform(ks[2], batch, *self.center_rng),
+            "sx": self._uniform(ks[3], batch, *self.sigma_rng),
+            "sy": self._uniform(ks[4], batch, *self.sigma_rng),
+            "sign": jnp.where(
+                self._uniform(ks[5], batch, *self.sign_rng) >= 0, 1.0, -1.0),
+        }
+
+    def apply(self, x, params):
+        B, Cc, H, W = x.shape
+        # per-axis gaussian profiles at pixel resolution (generator:
+        # gaussian_illumination.py:125-130)
+        from ..ops.filters import gaussian
+        gx = gaussian(W, (params["sx"] * W)[:, None],
+                      mean=jnp.round(params["cx"] * W)[:, None])  # (B, W)
+        gy = gaussian(H, (params["sy"] * H)[:, None],
+                      mean=jnp.round(params["cy"] * H)[:, None])  # (B, H)
+        grad = gy[:, :, None] * gx[:, None, :]  # (B, H, W)
+        mn = jnp.min(grad, axis=(-2, -1), keepdims=True)
+        mx = jnp.max(grad, axis=(-2, -1), keepdims=True)
+        grad = (grad - mn) / jnp.maximum(mx - mn, 1e-12)
+        grad = (params["sign"] * params["gain"])[:, None, None] * grad
+        return jnp.clip(x + grad[:, None], 0.0, 1.0)
+
+
+class RandomLinearCornerIllumination(IntensityAugmentationBase2D):
+    """Additive corner-anchored linear illumination (reference:
+    _2d/intensity/linear_illumination.py:134)."""
+
+    def __init__(self, gain=(0.01, 0.2), sign=(-1.0, 1.0), **kw):
+        super().__init__(**kw)
+        self.gain_rng = _as_range(gain, (0.01, 0.2))
+        self.sign_rng = _as_range(sign, (-1.0, 1.0))
+
+    def sample_params(self, key, batch, shape):
+        ks = jax.random.split(key, 3)
+        return {
+            "gain": self._uniform(ks[0], batch, *self.gain_rng),
+            "sign": jnp.where(
+                self._uniform(ks[1], batch, *self.sign_rng) >= 0, 1.0, -1.0),
+            "corner": jax.random.randint(ks[2], (batch,), 0, 4),
+        }
+
+    def apply(self, x, params):
+        B, Cc, H, W = x.shape
+        yg = jnp.linspace(0.0, 1.0, H)[:, None] * jnp.ones((1, W))
+        xg = jnp.linspace(0.0, 1.0, W)[None, :] * jnp.ones((H, 1))
+        base = jnp.stack([xg + yg, -xg + yg, xg - yg, 1.0 - (xg + yg)])
+        grad = base[params["corner"]]  # (B, H, W)
+        mn = jnp.min(grad, axis=(-2, -1), keepdims=True)
+        mx = jnp.max(grad, axis=(-2, -1), keepdims=True)
+        grad = (grad - mn) / jnp.maximum(mx - mn, 1e-12)
+        grad = (params["sign"] * params["gain"])[:, None, None] * grad
+        return jnp.clip(x + grad[:, None], 0.0, 1.0)
+
+
+class RandomPlasmaContrast(IntensityAugmentationBase2D):
+    """Fractal contrast field: (x-0.5)·4·plasma + 0.5 (reference:
+    _2d/intensity/plasma.py RandomPlasmaContrast)."""
+
+    def __init__(self, roughness=(0.1, 0.7), **kw):
+        super().__init__(**kw)
+        self.roughness = _as_range(roughness, (0.1, 0.7))
+
+    def sample_params(self, key, batch, shape):
+        from ..contrib.ops import diamond_square
+        k1, _ = jax.random.split(key)
+        B, Cc, H, W = shape
+        rough = float(jnp.mean(jnp.asarray(self.roughness)))
+        return {"field": diamond_square((B, 1, H, W), rough, key=k1)}
+
+    def apply(self, x, params):
+        return jnp.clip((x - 0.5) * 4.0 * params["field"] + 0.5, 0.0, 1.0)
+
+
+# reference spelling aliases (kornia/augmentation/__init__.py exports both)
+RandomClahe = RandomCLAHE
+RandomSaltAndPepperNoise = RandomSaltAndPepper
+
+__all__ += [
+    "RandomSnow", "RandomRain", "RandomGaussianIllumination",
+    "RandomLinearCornerIllumination", "RandomPlasmaContrast",
+    "RandomClahe", "RandomSaltAndPepperNoise",
+]

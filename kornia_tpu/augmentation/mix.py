@@ -195,18 +195,21 @@ class RandomTransplantation(AugmentationBase2D):
         donor_mask = masks[perm]
         # choose a donor label: the highest present label scaled by u,
         # skipping excluded (background) labels
-        max_label = jnp.max(donor_mask, axis=(1, 2)) if donor_mask.ndim == 3 \
-            else jnp.max(donor_mask, axis=(1, 2, 3))
+        max_label = jnp.max(donor_mask,
+                            axis=tuple(range(1, donor_mask.ndim)))
         label = jnp.ceil(params["label_u"] * jnp.maximum(
             max_label.astype(jnp.float32), 1.0)).astype(masks.dtype)
-        m = donor_mask if donor_mask.ndim == 4 else donor_mask[:, None]
-        sel = (m == label.reshape(-1, 1, 1, 1))
-        gate = params["apply_mask"].reshape(-1, 1, 1, 1)
-        sel = sel & gate
+        # masks are channel-less (B, [D,] H, W); insert the channel axis
+        # when pairing with (B, C, [D,] H, W) images
+        has_channel = masks.ndim == images.ndim
+        m = donor_mask if has_channel else donor_mask[:, None]
+        bshape = (-1,) + (1,) * (m.ndim - 1)
+        sel = (m == label.reshape(bshape))
+        sel = sel & params["apply_mask"].reshape(bshape)
         out_img = jnp.where(sel, donor_img, images)
-        m_orig = masks if masks.ndim == 4 else masks[:, None]
+        m_orig = masks if has_channel else masks[:, None]
         out_mask = jnp.where(sel, m, m_orig)
-        if masks.ndim == 3:
+        if not has_channel:
             out_mask = out_mask[:, 0]
         return out_img, out_mask
 
@@ -243,3 +246,22 @@ class RandomJigsaw(AugmentationBase2D):
             out = jnp.pad(out, [(0, 0), (0, 0), (0, H - gy * th),
                                 (0, W - gx * tw)])
         return out
+
+
+class MixAugmentationBaseV2(AugmentationBase2D):
+    """Label-transforming mix-augmentation base
+    (reference: augmentation/base.py MixAugmentationBaseV2)."""
+
+
+# the reference exports the class as PatchMix (2d/mix/patchmix.py:27);
+# RandomPatchMix is this build's original spelling — keep both
+PatchMix = RandomPatchMix
+
+
+class RandomTransplantation3D(RandomTransplantation):
+    """Volumetric transplantation: identical math, (B, C, D, H, W) images
+    + (B, D, H, W) masks (reference: _3d/mix/transplantation.py:24 — the
+    reference also only swaps the base class; the op is dim-agnostic)."""
+
+
+__all__ += ["MixAugmentationBaseV2", "PatchMix", "RandomTransplantation3D"]

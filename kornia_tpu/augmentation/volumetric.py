@@ -153,3 +153,117 @@ class RandomEqualize3D(_Base3D):
     def apply(self, x, params):
         from ..ops.enhance import equalize3d
         return equalize3d(x)
+
+
+# --- reference 3D base-class names (kornia/augmentation/_3d/base.py) --------
+
+class AugmentationBase3D(_Base3D):
+    """(B, C, D, H, W) augmentation base (reference: _3d/base.py)."""
+
+
+class IntensityAugmentationBase3D(AugmentationBase3D):
+    """Never changes geometry (reference: _3d/intensity/base.py)."""
+
+
+class GeometricAugmentationBase3D(AugmentationBase3D):
+    """Invertible through a (B, 4, 4) matrix (reference:
+    _3d/geometric/base.py)."""
+
+    def matrix4(self, params, shape):
+        B = params["apply_mask"].shape[0]
+        return jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+
+
+class RigidAffineAugmentationBase3D(GeometricAugmentationBase3D):
+    """(reference: _3d/base.py RigidAffineAugmentationBase3D)."""
+
+
+class RandomMotionBlur3D(IntensityAugmentationBase3D):
+    """Directional 3D motion blur (reference:
+    _3d/intensity/motion_blur.py:28). Kernel size is static under jit;
+    yaw/pitch/roll and direction are sampled per batch element."""
+
+    def __init__(self, kernel_size: int = 3, angle=35.0,
+                 direction=(-1.0, 1.0), border_type: str = "constant", **kw):
+        super().__init__(**kw)
+        self.kernel_size = int(kernel_size) if not isinstance(
+            kernel_size, (tuple, list)) else int(kernel_size[0])
+        if isinstance(angle, (int, float)):
+            self.angle = [(-float(angle), float(angle))] * 3
+        elif isinstance(angle[0], (tuple, list)):
+            self.angle = [tuple(a) for a in angle]
+        elif len(angle) == 3:
+            self.angle = [(-float(a), float(a)) for a in angle]
+        else:
+            self.angle = [tuple(angle)] * 3
+        self.direction = (tuple(direction)
+                          if isinstance(direction, (tuple, list))
+                          else (-float(direction), float(direction)))
+        self.border_type = border_type
+
+    def sample_params(self, key, batch, shape):
+        ks = jax.random.split(key, 4)
+        angles = jnp.stack(
+            [self._uniform(ks[i], batch, *self.angle[i]) for i in range(3)],
+            axis=-1)
+        return {"angle": angles,
+                "direction": self._uniform(ks[3], batch, *self.direction)}
+
+    def apply(self, x, params):
+        from ..ops.filters import motion_blur3d
+        return motion_blur3d(x, self.kernel_size, params["angle"],
+                             params["direction"], self.border_type)
+
+
+class RandomPerspective3D(GeometricAugmentationBase3D):
+    """Random 3D perspective warp of (B, C, D, H, W) volumes (reference:
+    _3d/geometric/perspective.py:28; generator
+    random_generator/_3d/perspective.py — corners pulled toward the
+    center by distortion_scale/2 · U[0,1])."""
+
+    def __init__(self, distortion_scale: float = 0.5,
+                 resample: str = "bilinear", align_corners: bool = False,
+                 **kw):
+        super().__init__(**kw)
+        self.distortion_scale = float(distortion_scale)
+        self.resample = resample
+        self.align_corners = align_corners
+
+    def sample_params(self, key, batch, shape):
+        B, C_, D, H, W = shape
+        corners = jnp.array(
+            [[0, 0, 0], [W - 1, 0, 0], [W - 1, H - 1, 0], [0, H - 1, 0],
+             [0, 0, D - 1], [W - 1, 0, D - 1], [W - 1, H - 1, D - 1],
+             [0, H - 1, D - 1]], jnp.float32)
+        start = jnp.broadcast_to(corners, (batch, 8, 3))
+        # unit direction toward the volume centre per corner
+        center = jnp.array([(W - 1) / 2.0, (H - 1) / 2.0, (D - 1) / 2.0])
+        pts_norm = jnp.sign(center - corners)  # (8, 3) of ±1
+        factor = self.distortion_scale / 2.0 * center  # per-axis max pull
+        if self.same_on_batch:
+            rand = jax.random.uniform(key, (1, 8, 3))
+            rand = jnp.broadcast_to(rand, (batch, 8, 3))
+        else:
+            rand = jax.random.uniform(key, (batch, 8, 3))
+        end = start + factor * rand * pts_norm
+        return {"start_points": start, "end_points": end}
+
+    def apply(self, x, params):
+        from ..ops.warp3d import get_perspective_transform3d, warp_perspective3d
+        M = get_perspective_transform3d(params["start_points"],
+                                        params["end_points"])
+        D, H, W = x.shape[-3:]
+        return warp_perspective3d(x, M, (D, H, W), self.resample,
+                                  align_corners=self.align_corners)
+
+    def matrix4(self, params, shape):
+        from ..ops.warp3d import get_perspective_transform3d
+        return get_perspective_transform3d(params["start_points"],
+                                           params["end_points"])
+
+
+__all__ += [
+    "AugmentationBase3D", "IntensityAugmentationBase3D",
+    "GeometricAugmentationBase3D", "RigidAffineAugmentationBase3D",
+    "RandomMotionBlur3D", "RandomPerspective3D",
+]

@@ -28,3 +28,15 @@ from .linalg import (
     solve_refined,
 )
 from .rng import batch_keys, key_iter, split_key
+from .module import (  # noqa: F401
+    ImageModule,
+    ImageModuleMixIn,
+    ImageSequential,
+    fn_module,
+)
+from .wrapper import TensorWrapper, unwrap, wrap  # noqa: F401
+from .export_mixin import (  # noqa: F401
+    ONNXExportMixin,
+    ONNXMixin,
+    ONNXRuntimeMixin,
+)

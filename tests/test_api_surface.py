@@ -68,7 +68,8 @@ def _public_names(mod):
 SUBPACKAGES = [
     "color", "filters", "enhance", "morphology", "geometry", "feature",
     "losses", "metrics", "contrib", "utils", "image", "io",
-    "augmentation", "tracking",
+    "augmentation", "tracking", "core", "onnx", "transpiler", "models",
+    "sensors",
 ]
 
 
