@@ -7,15 +7,19 @@ import pytest
 class TestRTDETR:
     def test_shapes(self, key):
         from kornia_tpu.models.rt_detr import RTDETR, RTDETRConfig
-        m = RTDETR(RTDETRConfig(num_classes=5, num_queries=16, dim=32,
-                                num_heads=4, enc_layers=1, dec_layers=1,
-                                input_size=64))
-        labels, scores, boxes = m(jax.random.uniform(key, (2, 3, 64, 64)))
-        assert labels.shape == (2, 16)
-        assert scores.shape == (2, 16)
+        cfg = RTDETRConfig(num_classes=5, input_size=96,
+                           resnet_n_blocks=[1, 1, 1, 1],
+                           neck_hidden_dim=32, neck_dim_feedforward=64,
+                           neck_expansion=0.5, head_hidden_dim=32,
+                           head_num_queries=16, head_num_decoder_layers=1,
+                           head_num_heads=4)
+        m = RTDETR(cfg, key=key)
+        logits, boxes = m(jax.random.uniform(key, (2, 3, 96, 96)))
+        assert logits.shape == (2, 16, 5)
         assert boxes.shape == (2, 16, 4)
-        # xyxy ordering
-        assert bool(jnp.all(boxes[..., 2] >= boxes[..., 0]))
+        dets = m.detect(jax.random.uniform(key, (2, 3, 96, 96)))
+        assert dets.shape == (2, 16, 6)  # min(num_top_queries, Q*K)
+        assert bool(jnp.all(dets[..., 1] >= 0))
 
 
 class TestHomographyDecomposition:
