@@ -1,6 +1,8 @@
 from .common import MLP, ConvNormAct, DropPath, LayerNorm2d, TransformerEncoderLayer
 from .rt_detr import DETRPostProcessor, RTDETR, RTDETRConfig
+from .efficient_vit import EfficientViT, EfficientViTConfig
 from .sam import Sam, SamConfig, VisualPrompter
+from .tiny_vit import TinyViT, TinyViTConfig
 from .small_sr import SmallSR, UNetSegmentor
 from .vit import ViTConfig, VisionTransformer
 from .depth_anything import DepthAnything, DepthAnythingConfig, DepthAnythingNet

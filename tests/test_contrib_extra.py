@@ -79,11 +79,13 @@ class TestColormapPrint:
 class TestSamScaffold:
     def test_sam(self, key):
         from kornia_tpu.models.sam import Sam, SamConfig
-        sam = Sam(SamConfig(image_size=64, patch_size=16, encoder_dim=32,
-                            encoder_depth=1, encoder_heads=2, decoder_dim=32,
-                            decoder_depth=1))
+        sam = Sam(SamConfig(image_size=64, patch_size=16,
+                            encoder_embed_dim=32, encoder_depth=1,
+                            encoder_num_heads=2,
+                            encoder_global_attn_indexes=(0,),
+                            prompt_embed_dim=32, mask_in_chans=8,
+                            decoder_num_heads=2, decoder_mlp_dim=64))
         masks, iou = sam(jax.random.uniform(key, (1, 3, 64, 64)),
                          jnp.array([[[32.0, 32.0]]]), jnp.array([[1]]))
-        assert masks.shape[1] == 3
+        assert masks.shape == (1, 3, 16, 16)
         assert iou.shape == (1, 3)
-        assert bool(jnp.all((iou >= 0) & (iou <= 1)))

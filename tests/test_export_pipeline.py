@@ -50,14 +50,16 @@ class TestPipelineExport:
                                           np.asarray(ref[1]))
 
     def test_export_model(self, key):
-        from kornia_tpu.models.efficient_vit import EfficientViT
+        from kornia_tpu.models.efficient_vit import (EfficientViT,
+                                                     EfficientViTConfig)
         from kornia_tpu.utils.export import load_exported, save_exported
-        m = EfficientViT(dims=(16, 32), depth=1)
+        m = EfficientViT(EfficientViTConfig((4, 8, 8, 16, 16),
+                                            (1, 1, 1, 1, 1), dim=8))
         x = jax.random.uniform(key, (1, 3, 32, 32))
-        m(x)  # init params
+        m.params  # init params
 
         def fwd(inp):
-            return m(inp)
+            return m(inp)["stage_final"]
 
         with tempfile.TemporaryDirectory() as d:
             path = os.path.join(d, "model.stablehlo")
@@ -69,7 +71,15 @@ class TestPipelineExport:
 
 class TestBackbones:
     def test_shapes(self, key):
-        from kornia_tpu.models.efficient_vit import EfficientViT, TinyViT
+        from kornia_tpu.models.efficient_vit import (EfficientViT,
+                                                     EfficientViTConfig)
+        from kornia_tpu.models.tiny_vit import TinyViT, TinyViTConfig
         x = jax.random.uniform(key, (1, 3, 64, 64))
-        assert EfficientViT(dims=(16, 32), depth=1)(x).shape == (1, 32, 8, 8)
-        assert TinyViT(dims=(16, 32))(x).shape == (1, 32, 8, 8)
+        out = EfficientViT(EfficientViTConfig((4, 8, 8, 16, 16),
+                                              (1, 1, 1, 1, 1), dim=8))(x)
+        assert out["stage_final"].shape == (1, 16, 2, 2)
+        assert out["stage0"].shape == (1, 4, 32, 32)
+        tv = TinyViT(TinyViTConfig(img_size=64, embed_dims=(8, 16, 16, 32),
+                                   depths=(1, 1, 1, 1), num_heads=(2, 4, 4, 8),
+                                   window_sizes=(3, 3, 3, 3), num_classes=10))
+        assert tv(x).shape == (1, 10)
