@@ -10,6 +10,10 @@ from .siglip2 import (SigLip2, SigLip2Config, SigLip2Model, SigLip2TextConfig,
                       SigLip2TextTower, SigLip2VisionConfig,
                       SigLip2VisionTower, siglip_loss)
 from .vlm import VLM, DecoderConfig, DecoderLM, VLMConfig, VLMModel
+from .qwen2_vl import Qwen2VLConfig, Qwen2VLVisionTransformer
+from .kimi_vl import KimiVLConfig, KimiVLModel, MoonViTConfig
+from .paligemma import PaliGemma, PaliGemmaConfig
+from .smolvlm2 import SmolVLM2
 from .diffusion import (AutoencoderKL, DDIMSchedule, DiffusionConfig,
                         StableDiffusionDissolving, UNet2dCondition)
 from .mobile_vit import MobileViT
