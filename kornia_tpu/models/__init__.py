@@ -14,6 +14,7 @@ from .qwen2_vl import Qwen2VLConfig, Qwen2VLVisionTransformer
 from .kimi_vl import KimiVLConfig, KimiVLModel, MoonViTConfig
 from .paligemma import PaliGemma, PaliGemmaConfig
 from .smolvlm2 import SmolVLM2
+from .structures import NaFlex, Prompts, SegmentationResults
 from .diffusion import (AutoencoderKL, DDIMSchedule, DiffusionConfig,
                         StableDiffusionDissolving, UNet2dCondition)
 from .mobile_vit import MobileViT

@@ -32,11 +32,12 @@ def test_sam3_masks_and_iou():
     pts = jnp.asarray([[[32.0, 20.0], [10.0, 50.0]]] * 2)
     lab = jnp.asarray([[1, 0]] * 2)
     masks, iou = m(img, pts, lab)
-    assert masks.shape == (2, 3, 16, 16) and iou.shape == (2, 3)
-    # padding labels (-1) zero their sparse embedding: output changes when
-    # a real point is padded out
-    masks2, _ = m(img, pts, jnp.asarray([[1, -1]] * 2))
-    assert not np.allclose(np.asarray(masks), np.asarray(masks2))
+    # exact reference semantics: masks are the upscaled embeddings
+    # (B, P/8, S/4, S/4); iou has num_multimask_outputs entries
+    assert masks.shape == (2, 8, 16, 16) and iou.shape == (2, 3)
+    # a different label selects a different embedding: iou changes
+    _, iou2 = m(img, pts, jnp.asarray([[1, -1]] * 2))
+    assert not np.allclose(np.asarray(iou), np.asarray(iou2))
 
 
 def test_sam3_jit_and_grad():
@@ -44,13 +45,14 @@ def test_sam3_jit_and_grad():
     img = jnp.asarray(rng.random((1, 3, 64, 64)), dtype=jnp.float32)
     pts = jnp.asarray([[[32.0, 20.0]]])
     lab = jnp.asarray([[1]])
-    m(img, pts, lab)
-    x = jnp.transpose(img, (0, 2, 3, 1))
+    params = m.params
 
     def loss(p):
-        masks, _ = m.model.apply(p, x, pts / 64.0, lab)
-        return jnp.mean(masks ** 2)
+        masks, iou = Sam3(m.cfg, p)(img, pts, lab)
+        return jnp.mean(masks ** 2) + jnp.mean(iou ** 2)
 
-    g = jax.grad(loss)(m.params)
+    out = jax.jit(lambda p: loss(p))(params)
+    assert bool(jnp.isfinite(out))
+    g = jax.grad(loss)(params)
     assert all(bool(jnp.isfinite(t).all())
                for t in jax.tree_util.tree_leaves(g))
