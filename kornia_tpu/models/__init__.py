@@ -15,6 +15,8 @@ from .kimi_vl import KimiVLConfig, KimiVLModel, MoonViTConfig
 from .paligemma import PaliGemma, PaliGemmaConfig
 from .smolvlm2 import SmolVLM2
 from .structures import NaFlex, Prompts, SegmentationResults
+from .rrdbnet import RRDBNet, RRDBNetBuilder, RRDBNetConfig
+from .siglip2_exact import SigLip2Exact, SigLip2ExactConfig
 from .diffusion import (AutoencoderKL, DDIMSchedule, DiffusionConfig,
                         StableDiffusionDissolving, UNet2dCondition)
 from .mobile_vit import MobileViT

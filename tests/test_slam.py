@@ -148,9 +148,15 @@ class TestPoseGraph:
 class TestTwoView:
     @pytest.mark.slow
     def test_two_view_pose_synthetic(self, key):
-        # covered more cheaply in verify; smoke the wiring here
-        from kornia_tpu.slam.twoview import match_pair
+        # covered more cheaply in verify; smoke the wiring here.
+        # Use a corner-rich checkerboard: heavily blurred 64^2 noise has
+        # almost no stable DoG extrema under the exact-parity detector.
+        import numpy as np
+
         from kornia_tpu.ops.filters import gaussian_blur2d
-        img = gaussian_blur2d(jax.random.uniform(key, (1, 1, 64, 64)), 5, 1.2)
+        from kornia_tpu.slam.twoview import match_pair
+        xx, yy = np.meshgrid(np.arange(96), np.arange(96))
+        img = jnp.asarray(((xx // 12 + yy // 12) % 2).astype(np.float32))
+        img = gaussian_blur2d(img[None, None], 5, 1.0)
         out = match_pair(img, img, num_features=64)
         assert int(out["valid"].sum()) > 10
