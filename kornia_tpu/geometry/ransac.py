@@ -98,6 +98,44 @@ def _sample_validity(model_type: str, p1: jax.Array, p2: jax.Array) -> jax.Array
     return jnp.ones(p1.shape[0], dtype=bool)
 
 
+# Above this many model x point error entries, score in chunks: the direct
+# path materializes (M, N, 3) epipolar intermediates — at the reference's
+# essential-RANSAC scale (10 rounds x 2048 samples x 10 models x 2048
+# points) that is ~22 GB of HLO temps, beyond a v5e's 16 GB HBM.
+_STREAM_THRESHOLD = 1 << 24
+
+
+def _msac_scores(model_type: str, p1: jax.Array, p2: jax.Array,
+                 models: jax.Array, mask: jax.Array, th2: float
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Streaming MSAC scorer: (M, 3, 3) models -> (msac (M,), inliers (M,)).
+
+    Chunks the model axis with `lax.map` so each step's error tile stays
+    VMEM/HBM-friendly; the full (M, N) error matrix and its (M, N, 3)
+    epipolar intermediates never materialize at once.
+    """
+    M = models.shape[0]
+    N = p1.shape[0]
+
+    def score(ms):
+        errs = _error(model_type, p1, p2, ms)
+        errs = jnp.where(mask[None, :], errs, th2)
+        msac = jnp.sum(jnp.clip(errs, 0.0, th2), axis=-1)
+        cnt = jnp.sum((errs < th2) & mask[None, :], axis=-1)
+        return msac, cnt
+
+    if M * N <= _STREAM_THRESHOLD:
+        return score(models)
+
+    chunk = max(256, min(M, _STREAM_THRESHOLD // max(N, 1)))
+    pad = (-M) % chunk
+    mpad = jnp.concatenate(
+        [models, jnp.broadcast_to(jnp.eye(3, dtype=models.dtype),
+                                  (pad, 3, 3))]) if pad else models
+    msac, cnt = jax.lax.map(score, mpad.reshape(-1, chunk, 3, 3))
+    return msac.reshape(-1)[:M], cnt.reshape(-1)[:M]
+
+
 def max_samples_by_conf(n_inl: jax.Array, num_tc: int, sample_size: int,
                         conf: float) -> jax.Array:
     """Confidence-based sample bound (reference: ransac.py:170)."""
@@ -164,12 +202,10 @@ def ransac(
     model_ok = jnp.repeat(sample_ok, K) & (
         jnp.linalg.norm(models.reshape(-1, 9), axis=-1) > 1e-6)
 
-    # --- score: MSAC --------------------------------------------------------
-    errs = _error(model_type, points1, points2, models)  # (T*S*K, N)
+    # --- score: MSAC (streamed over model chunks at large scale) ------------
     th2 = inl_th * inl_th
-    errs = jnp.where(mask[None, :], errs, th2)  # padded points score as outliers
-    msac = jnp.sum(jnp.clip(errs, 0.0, th2), axis=-1)  # lower is better
-    inl_counts = jnp.sum((errs < th2) & mask[None, :], axis=-1)
+    msac, inl_counts = _msac_scores(model_type, points1, points2, models,
+                                    mask, th2)
     msac = jnp.where(model_ok, msac, jnp.inf)
 
     # --- early-stop mask (confidence semantics without dynamic loop) --------

@@ -1,5 +1,7 @@
 from .checkpoint import load_checkpoint, save_checkpoint
 from .compile_cache import enable_compilation_cache
+from .debug import assert_finite, checked, trace
+from .elastic import latest_checkpoint, run_restartable
 from .export import ExportedOp, export_op, load_exported, save_exported
 from .misc import batched_forward, image_to_tensor, tensor_to_image
 from ..core.grid import create_meshgrid, create_meshgrid3d  # noqa: F401

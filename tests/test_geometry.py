@@ -505,3 +505,30 @@ class TestPolishEssential:
         E = Ep.run_5point(p1, p2)
         valid = jnp.linalg.norm(E.reshape(16, -1, 9), axis=-1) > 0.5
         assert bool(jnp.all(jnp.any(valid, -1)))
+
+
+class TestStreamingMsacScorer:
+    def test_chunked_matches_direct(self, key):
+        """The streaming scorer (used when models x points would blow HBM —
+        e.g. essential RANSAC at the reference's 2048x10x10 scale needs
+        ~22 GB direct) must reproduce the direct path bit-for-bit."""
+        import numpy as np
+
+        import kornia_tpu.geometry.ransac as R
+        rng = np.random.default_rng(7)
+        p1 = jnp.asarray(rng.normal(size=(257, 2)), jnp.float32)
+        p2 = jnp.asarray(rng.normal(size=(257, 2)), jnp.float32)
+        models = jnp.asarray(rng.normal(size=(300, 3, 3)), jnp.float32)
+        mask = jnp.asarray(rng.random(257) > 0.3)
+        th2 = 0.05
+        want = R._msac_scores("essential", p1, p2, models, mask, th2)
+        old = R._STREAM_THRESHOLD
+        try:
+            R._STREAM_THRESHOLD = 1024
+            got = R._msac_scores("essential", p1, p2, models, mask, th2)
+        finally:
+            R._STREAM_THRESHOLD = old
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got[1]),
+                                      np.asarray(want[1]))
