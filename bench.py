@@ -7,6 +7,17 @@ Headline: the reference's own per-op augmentation benchmark regime
 vs_baseline = geometric-mean speedup of our TPU throughput over the
 reference's best published GPU numbers (kornia compiled where available,
 eager otherwise; BASELINE.md).
+
+Timing methodology: through the axon tunnel `block_until_ready` can
+acknowledge at enqueue, so naive per-call timing measures dispatch, not
+device compute — and chained-loop formulations get algebraically
+collapsed by XLA (flip∘flip → identity). Each op is therefore timed by
+BATCH SCALING: fetch-forced wall time at batch 32 and batch 1024 inside
+one executable each; per-batch-32 device time = (T(1024) - T(32)) / 31.
+Minima over reps estimate the RPC floor + device time; the round-trip,
+dispatch, and the 4-byte result fetch cancel in the difference, the 31x
+work multiplier lifts the signal well above tunnel jitter, and nothing
+is algebraically simplifiable.
 """
 
 import json
@@ -15,45 +26,63 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kornia_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()  # persist TPU executables across runs
 
 
-def _bench(fn, *args, warmup=3, iters=30):
-    """Median of per-call times — robust to the remote-tunnel latency
-    spikes of the axon backend (dispatch occasionally blocks ~100ms for
-    reasons unrelated to device compute)."""
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
+_MULT = 32  # batch multiplier: 32 -> 1024
+
+
+def _timed(fn, img, reps=15):
+    f = jax.jit(fn)
+    out = f(img)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[0])  # warm + force completion (4 bytes)
+    ts = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+        leaf = jax.tree_util.tree_leaves(f(img))[0]
+        np.asarray(leaf.reshape(-1)[0])
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _bench(fn, img32):
+    """Marginal device time of one batch-32 application."""
+    imgN = jnp.concatenate(
+        [img32 * (1.0 - 0.001 * i) for i in range(_MULT)], 0)
+    t1 = _timed(fn, img32)
+    tN = _timed(fn, imgN)
+    return max((tN - t1) / (_MULT - 1), 1e-7)
 
 
 def main():
-    from kornia_tpu.ops import (adjust_brightness, gaussian_blur2d, hflip,
-                                resize, rgb_to_grayscale, vflip)
+    from kornia_tpu.ops import (adjust_brightness, gaussian_blur2d,
+                                grayscale_to_rgb, hflip, resize,
+                                rgb_to_grayscale, vflip)
 
     B, C, H, W = 32, 3, 256, 256
     key = jax.random.PRNGKey(0)
     img = jax.random.uniform(key, (B, C, H, W), dtype=jnp.float32)
 
     # reference numbers: kornia on Jetson Orin GPU, batch 32 256x256
-    # (BASELINE.md; compiled column where it exists, else eager)
+    # (BASELINE.md; compiled column where it exists, else eager).
+    # Shape-changing ops chain with a fixup (resize back / channel
+    # broadcast) so the loop composes — measured time therefore includes
+    # the fixup, i.e. reported throughput is conservative.
     ops = {
-        "HorizontalFlip": (jax.jit(hflip), 11458.0),
-        "VerticalFlip": (jax.jit(vflip), 10599.0),
-        "Resize_half": (jax.jit(lambda x: resize(x, (128, 128), antialias=True)),
+        "HorizontalFlip": (hflip, 11458.0),
+        "VerticalFlip": (vflip, 10599.0),
+        "Resize_half": (lambda x: resize(resize(x, (128, 128),
+                                                antialias=True), (256, 256)),
                         None),  # reference kornia entry is ✗ on GPU
-        "GaussianBlur": (jax.jit(lambda x: gaussian_blur2d(x, 3, 0.8)), 1042.0),
-        "Brightness": (jax.jit(lambda x: adjust_brightness(x, 1.1)), 12284.0),
-        "Grayscale": (jax.jit(rgb_to_grayscale), 24777.0),
+        "GaussianBlur": (lambda x: gaussian_blur2d(x, 3, 0.8), 1042.0),
+        "Brightness": (lambda x: adjust_brightness(x, 0.1), 12284.0),
+        "Grayscale": (lambda x: grayscale_to_rgb(rgb_to_grayscale(x)),
+                      24777.0),
     }
 
     speedups = []

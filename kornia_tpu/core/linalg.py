@@ -16,6 +16,7 @@ All functions are batched over leading dims and jit/vmap/grad-closed.
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -32,6 +33,9 @@ __all__ = [
     "lstsq_nullspace",
     "eigh_smallest",
     "symeig_3x3",
+    "gauss_det",
+    "gauss_solve",
+    "nullspace_inverse_iteration",
 ]
 
 _EPS = 1e-12
@@ -168,3 +172,96 @@ def eigh_smallest(S: jax.Array) -> Tuple[jax.Array, jax.Array]:
 def symeig_3x3(S: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Eigendecomposition of a batched symmetric 3x3 (ascending)."""
     return jnp.linalg.eigh(S)
+
+
+def gauss_det(A: jax.Array) -> jax.Array:
+    """Determinant of a small batched matrix via UNROLLED Gaussian
+    elimination with partial pivoting.
+
+    TPU-first replacement for `jnp.linalg.det` on tiny matrices: XLA's LU
+    lowering runs sequential loops with dynamic slices, which is ~10-50x
+    slower than this fully-vectorized static unroll for n <= ~16 (the
+    5-point solver's 22 batched 10x10 determinants dropped from ~1.2 s to
+    ~ms-scale at 20k samples on a v5e).
+    """
+    n = A.shape[-1]
+    a = A
+    det = jnp.ones(A.shape[:-2], A.dtype)
+    rows = jnp.arange(n)
+    for k in range(n):
+        col = jnp.abs(a[..., :, k])
+        col = jnp.where(rows >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)
+        det = det * jnp.where(p == k, 1.0, -1.0)
+        onehot_p = jax.nn.one_hot(p, n, dtype=a.dtype)
+        rp = jnp.einsum("...r,...rc->...c", onehot_p, a)
+        rk = a[..., k, :]
+        ek = jax.nn.one_hot(jnp.asarray(k), n, dtype=a.dtype)
+        diff = rp - rk
+        a = a + ek[..., :, None] * diff[..., None, :] \
+            - onehot_p[..., :, None] * diff[..., None, :]
+        piv = a[..., k, k]
+        det = det * piv
+        safe = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
+        m = a[..., :, k] / safe[..., None]
+        m = jnp.where(rows > k, m, 0.0)
+        a = a - m[..., :, None] * a[..., k:k + 1, :]
+    return det
+
+
+def gauss_solve(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for small batched A via unrolled partial-pivot
+    Gaussian elimination (same rationale as `gauss_det`). b: (..., n)."""
+    n = A.shape[-1]
+    aug = jnp.concatenate([A, b[..., :, None]], -1)  # (..., n, n+1)
+    rows = jnp.arange(n)
+    for k in range(n):
+        col = jnp.abs(aug[..., :, k])
+        col = jnp.where(rows >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=-1)
+        onehot_p = jax.nn.one_hot(p, n, dtype=aug.dtype)
+        rp = jnp.einsum("...r,...rc->...c", onehot_p, aug)
+        rk = aug[..., k, :]
+        ek = jax.nn.one_hot(jnp.asarray(k), n, dtype=aug.dtype)
+        diff = rp - rk
+        aug = aug + ek[..., :, None] * diff[..., None, :] \
+            - onehot_p[..., :, None] * diff[..., None, :]
+        piv = aug[..., k, k]
+        safe = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
+        m = aug[..., :, k] / safe[..., None]
+        m = jnp.where(rows > k, m, 0.0)
+        aug = aug - m[..., :, None] * aug[..., k:k + 1, :]
+    # back substitution (unrolled)
+    x = jnp.zeros(A.shape[:-2] + (n,), A.dtype)
+    for k in range(n - 1, -1, -1):
+        rhs = aug[..., k, n] - jnp.sum(aug[..., k, :n] * x, -1)
+        piv = aug[..., k, k]
+        safe = jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
+        x = x.at[..., k].set(rhs / safe) if x.ndim == 1 else \
+            x + jax.nn.one_hot(jnp.asarray(k), n, dtype=x.dtype) \
+            * (rhs / safe - x[..., k])[..., None]
+    return x
+
+
+def nullspace_inverse_iteration(A: jax.Array, iters: int = 2) -> jax.Array:
+    """Unit null vector of a small batched A (..., m, n) via inverse
+    iteration on the (regularized) Gram matrix.
+
+    TPU-first replacement for the eigh-based `lstsq_nullspace` on HOT
+    paths: XLA's batched eigh runs Jacobi sweeps in sequential loops
+    (~5.8 s for 409k 10x10 matrices on a v5e); two unrolled Gaussian
+    solves converge to the smallest eigenvector whenever the matrix is
+    (near-)rank-deficient — exactly the regime where a null vector is
+    meaningful. Callers needing exact eigenvectors of well-conditioned
+    matrices should keep `lstsq_nullspace`.
+    """
+    G = jnp.einsum("...mi,...mj->...ij", A, A)
+    n = G.shape[-1]
+    tr = jnp.trace(G, axis1=-2, axis2=-1)[..., None, None]
+    Greg = G + (1e-7 / n) * tr * jnp.eye(n, dtype=G.dtype)
+    v = jnp.ones(G.shape[:-2] + (n,), G.dtype) / math.sqrt(n)
+    for _ in range(iters):
+        v = gauss_solve(Greg, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                            1e-30)
+    return v

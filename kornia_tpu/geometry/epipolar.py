@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..core.check import check, check_shape
 from ..core.dtype import as_float
-from ..core.linalg import inverse_3x3, lstsq_nullspace
+from ..core.linalg import (gauss_det, inverse_3x3, lstsq_nullspace,
+                           nullspace_inverse_iteration)
 from .homography import normalize_points
 from .solvers import multiply_deg_one_poly, multiply_deg_two_one_poly, poly_roots, solve_cubic
 
@@ -279,7 +280,9 @@ def _polish_xyz(constraints: jax.Array, xs: jax.Array, ys: jax.Array,
             r = residual(c10x20, xyz)
             J = jax.jacfwd(lambda p: residual(c10x20, p))(xyz)  # (10, 3)
             JtJ = J.T @ J + 1e-10 * jnp.eye(3, dtype=xyz.dtype)
-            step = jnp.linalg.solve(JtJ, J.T @ r)
+            # closed-form 3x3 inverse: XLA's batched LU solve loops are
+            # ~100x slower for 409k tiny systems on TPU
+            step = inverse_3x3(JtJ[None])[0] @ (J.T @ r)
             # trust region: refine within the seed's root basin only —
             # unbounded GN can jump to another of the <=10 solutions and
             # collapse distinct candidates (losing the true model)
@@ -334,8 +337,10 @@ def run_5point(points1: jax.Array, points2: jax.Array,
     vinv = jnp.asarray(_VAND_INV, points1.dtype)
 
     def det_coeffs(reverse):
+        # gauss_det: unrolled GE — XLA's batched LU det is ~10x slower on
+        # TPU for these tiny 10x10 systems
         dets = [
-            jnp.linalg.det(
+            gauss_det(
                 _c_matrix_at(constraints, jnp.asarray(zk, points1.dtype), reverse))
             for zk in _NODES
         ]
@@ -358,7 +363,10 @@ def run_5point(points1: jax.Array, points2: jax.Array,
     # x = (m̃_x/m̃_1)/u)
     def solve_root(constraints_b, v, reverse):
         Cv = _c_matrix_at(constraints_b[None], v, reverse)[0]  # (10, 10)
-        m = lstsq_nullspace(Cv)  # (10,)
+        # inverse iteration instead of eigh: batched 10x10 eigh dominated
+        # the whole solver (~5.8 s for 409k matrices on a v5e); the null
+        # vector only seeds the Gauss-Newton polish below
+        m = nullspace_inverse_iteration(Cv)  # (10,)
         w = m[9]
         w_safe = jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
         x = m[7] / w_safe
