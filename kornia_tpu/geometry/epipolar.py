@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..core.check import check, check_shape
 from ..core.dtype import as_float
 from ..core.linalg import (gauss_det, inverse_3x3, lstsq_nullspace,
-                           nullspace_inverse_iteration)
+                           nullspace_inverse_iteration, nullspace_qr)
 from .homography import normalize_points
 from .solvers import multiply_deg_one_poly, multiply_deg_two_one_poly, poly_roots, solve_cubic
 
@@ -84,7 +84,12 @@ def run_8point(points1: jax.Array, points2: jax.Array,
     )
     if weights is not None:
         A = A * jnp.sqrt(jnp.maximum(weights, 0.0))[..., None]
-    f = lstsq_nullspace(A)
+    if points1.shape[1] == 8:
+        # minimal sample: exact 1-dim nullspace by Householder QR of Aᵀ
+        # (eigh(AᵀA) squares the condition number; see nullspace_qr)
+        f = nullspace_qr(A)[..., 0]
+    else:
+        f = lstsq_nullspace(A)
     F = f.reshape(-1, 3, 3)
     # rank-2 projection via SVD
     U, S, Vt = jnp.linalg.svd(F)
@@ -110,11 +115,11 @@ def run_7point(points1: jax.Array, points2: jax.Array) -> jax.Array:
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
     )  # (B, 7, 9)
-    # two-dimensional nullspace: two smallest eigenvectors of AᵀA
-    AtA = jnp.einsum("bni,bnj->bij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    F1 = vecs[..., :, 0].reshape(B, 3, 3)
-    F2 = vecs[..., :, 1].reshape(B, 3, 3)
+    # exact 2-dim nullspace by Householder QR of Aᵀ (eigh(AᵀA) squares the
+    # condition number — see run_5point / core/linalg.py nullspace_qr)
+    V = nullspace_qr(A)  # (B, 9, 2)
+    F1 = V[..., :, 0].reshape(B, 3, 3)
+    F2 = V[..., :, 1].reshape(B, 3, 3)
     # det(λ F1 + (1-λ) F2) = 0 → cubic in λ
     D = F1 - F2
 
@@ -320,10 +325,18 @@ def run_5point(points1: jax.Array, points2: jax.Array,
     )  # (B, N, 9)
     if weights is not None:
         A = A * jnp.sqrt(jnp.maximum(weights, 0.0))[..., None]
-    # 4-dimensional nullspace: 4 smallest eigenvectors of AᵀA
-    AtA = jnp.einsum("bni,bnj->bij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    E_basis = jnp.moveaxis(vecs[..., :, :4], -1, 1).reshape(B, 4, 3, 3)
+    if N == 5:
+        # exact 4-dim nullspace by Householder QR of Aᵀ — eigh(AᵀA)
+        # squares the condition number and, in f32, loses the true E from
+        # the span on near-degenerate samples (worst-case span residual
+        # 4e-1 → 4e-5; see core/linalg.py nullspace_qr)
+        V = nullspace_qr(A)  # (B, 9, 4)
+        E_basis = jnp.moveaxis(V, -1, 1).reshape(B, 4, 3, 3)
+    else:
+        # overdetermined: 4 smallest eigenvectors of AᵀA
+        AtA = jnp.einsum("bni,bnj->bij", A, A)
+        _, vecs = jnp.linalg.eigh(AtA)
+        E_basis = jnp.moveaxis(vecs[..., :, :4], -1, 1).reshape(B, 4, 3, 3)
 
     constraints = _essential_constraints(E_basis)  # (B, 10, 20)
     # normalize rows for conditioning

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..core.check import check, check_shape
 from ..core.dtype import as_float
-from ..core.linalg import lstsq_nullspace
+from ..core.linalg import lstsq_nullspace, nullspace_qr
 from .linalg import transform_points
 
 __all__ = [
@@ -72,7 +72,13 @@ def find_homography_dlt(
     if weights is not None:
         w = jnp.concatenate([weights, weights], axis=1)[..., None]
         A = A * jnp.sqrt(jnp.maximum(w, 0.0))
-    h = lstsq_nullspace(A)
+    if N == 4:
+        # minimal sample: exact 1-dim nullspace by Householder QR of Aᵀ —
+        # f32 eigh(AᵀA) loses the solution on near-degenerate samples
+        # (see core/linalg.py nullspace_qr)
+        h = nullspace_qr(A)[..., 0]
+    else:
+        h = lstsq_nullspace(A)
     H_norm = h.reshape(B, 3, 3)
     from ..core.linalg import inverse_3x3
     H = inverse_3x3(T2) @ H_norm @ T1
@@ -155,7 +161,11 @@ def find_homography_lines_dlt(
     if weights is not None:
         w = jnp.concatenate([weights, weights], axis=1)[..., None]
         A = A * jnp.sqrt(jnp.maximum(w, 0.0))
-    h = lstsq_nullspace(A)
+    if N == 4:
+        # minimal sample: exact 1-dim nullspace (see find_homography_dlt)
+        h = nullspace_qr(A)[..., 0]
+    else:
+        h = lstsq_nullspace(A)
     H_norm = h.reshape(B, 3, 3)
     from ..core.linalg import inverse_3x3
     H = inverse_3x3(T2) @ H_norm @ T1

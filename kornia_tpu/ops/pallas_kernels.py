@@ -149,11 +149,86 @@ def _blur_kernel(x_ref, wv_ref, wh_ref, o_ref, *, ky, kx, H, W):
     o_ref[...] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("border_type", "interpret"))
+def _blur_kernel_t(x_ref, wv_ref, wh_ref, o_ref, *, ky, kx, H, W):
+    """Transpose variant: the horizontal pass runs as a second vertical
+    pass on the in-VMEM transposed accumulator, so every shifted read is a
+    sublane shift (lane shifts at unaligned offsets are the slow path on
+    the VPU)."""
+    x = x_ref[...].astype(jnp.float32)        # (NB, Hp, Wp)
+    acc = wv_ref[0, 0] * x[:, 0:H, :]
+    for k in range(1, ky):
+        acc += wv_ref[0, k] * x[:, k:k + H, :]
+    acc_t = jnp.swapaxes(acc, 1, 2)           # (NB, Wp, H)
+    out_t = wh_ref[0, 0] * acc_t[:, 0:W, :]
+    for k in range(1, kx):
+        out_t += wh_ref[0, k] * acc_t[:, k:k + W, :]
+    o_ref[...] = jnp.swapaxes(out_t, 1, 2).astype(o_ref.dtype)
+
+
+def _blur_kernel_mm2(x_ref, sv_ref, sh_ref, o_ref, *, precision):
+    """Both passes as MXU matmuls with the border handling folded into the
+    banded operator matrices: out = S_v · x · S_hᵀ. No padded copy of the
+    input ever touches HBM — exactly one read and one write per pixel."""
+    x = x_ref[...]                            # (NB, H, W)
+    prec = (jax.lax.Precision.HIGHEST if precision == "float32"
+            else jax.lax.Precision.DEFAULT)
+    # acc[n, i, w] = sum_h sv[i, h] x[n, h, w]
+    acc = jax.lax.dot_general(
+        sv_ref[...], x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # (H, NB, W)
+    # out[n, i, j] = sum_w acc[i, n, w] sh[j, w]
+    out = jax.lax.dot_general(
+        acc, sh_ref[...], (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # (H, NB, W)
+    o_ref[...] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
+
+
+def _band_matrix(kernel: jax.Array, size: int, border_type: str) -> jax.Array:
+    """(size, size) 'same'-correlation operator with the border rule folded
+    in: row i sums kernel[k] into column reflect/clamp/wrap(i + k - pad)."""
+    k = kernel.shape[-1]
+    pad = k // 2
+    rows = jnp.arange(size)[:, None]
+    taps = rows + jnp.arange(k)[None, :] - pad  # (size, k)
+    if border_type == "reflect":
+        idx = jnp.abs(taps)
+        idx = jnp.where(idx >= size, 2 * (size - 1) - idx, idx)
+        valid = jnp.ones_like(taps, dtype=bool)
+    elif border_type == "replicate":
+        idx = jnp.clip(taps, 0, size - 1)
+        valid = jnp.ones_like(taps, dtype=bool)
+    elif border_type == "circular":
+        idx = jnp.mod(taps, size)
+        valid = jnp.ones_like(taps, dtype=bool)
+    else:  # constant (zeros): taps outside contribute nothing
+        valid = (taps >= 0) & (taps < size)
+        idx = jnp.clip(taps, 0, size - 1)
+    w = jnp.where(valid, kernel.astype(jnp.float32)[None, :], 0.0)
+    S = jnp.zeros((size, size), jnp.float32)
+    return S.at[rows, idx].add(w)
+
+
+def _blur_kernel_mm(x_ref, wv_ref, sh_ref, o_ref, *, ky, H):
+    """Matmul variant: vertical pass by sublane shifts, horizontal pass as
+    one (NB*H, Wp) x (Wp, W) banded matmul on the MXU."""
+    x = x_ref[...].astype(jnp.float32)        # (NB, Hp, Wp)
+    acc = wv_ref[0, 0] * x[:, 0:H, :]
+    for k in range(1, ky):
+        acc += wv_ref[0, k] * x[:, k:k + H, :]
+    out = jax.lax.dot_general(
+        acc, sh_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # (NB, H, W)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("border_type", "interpret", "variant"))
 def fused_separable_blur2d(x: jax.Array, kernel_y: jax.Array,
                            kernel_x: jax.Array,
                            border_type: str = "reflect",
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           variant: str = "shift") -> jax.Array:
     """Separable 2D correlation with both 1-D passes fused in one Pallas
     kernel (ops/filters.py filter2d_separable semantics: pad like two
     consecutive 'same' passes — pad-then-conv commutes across axes for
@@ -168,6 +243,38 @@ def fused_separable_blur2d(x: jax.Array, kernel_y: jax.Array,
     ky = kernel_y.shape[-1]
     kx = kernel_x.shape[-1]
     xf = x.reshape(B * C, H, W)
+
+    if variant in ("mm2", "xla_mm2"):
+        sv = _band_matrix(kernel_y.reshape(-1), H, border_type)  # (H, H)
+        sh = _band_matrix(kernel_x.reshape(-1), W, border_type)  # (W, W)
+        if variant == "xla_mm2":
+            acc = jnp.einsum("ih,nhw->niw", sv, xf.astype(jnp.float32),
+                             precision=jax.lax.Precision.HIGHEST)
+            out = jnp.einsum("niw,jw->nij", acc, sh,
+                             precision=jax.lax.Precision.HIGHEST)
+            return out.astype(x.dtype).reshape(B, C, H, W)
+        N = B * C
+        per_img = 3 * H * W * 4
+        fixed = (H * H + W * W) * 4
+        NB = 1
+        for cand in (8, 4, 2):
+            if N % cand == 0 and cand * per_img + fixed <= 6 * 1024 * 1024:
+                NB = cand
+                break
+        out = pl.pallas_call(
+            functools.partial(_blur_kernel_mm2, precision="float32"),
+            grid=(N // NB,),
+            in_specs=[
+                pl.BlockSpec((NB, H, W), lambda n: (n, 0, 0)),
+                pl.BlockSpec((H, H), lambda n: (0, 0)),
+                pl.BlockSpec((W, W), lambda n: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((NB, H, W), lambda n: (n, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((N, H, W), x.dtype),
+            interpret=interpret,
+        )(xf.astype(jnp.float32), sv, sh)
+        return out.reshape(B, C, H, W)
+
     pads = [(0, 0), (ky // 2, (ky - 1) // 2), (kx // 2, (kx - 1) // 2)]
     xp = jnp.pad(xf, pads, mode=_PAD_MODES[border_type])
     N, Hp, Wp = xp.shape
@@ -182,8 +289,28 @@ def fused_separable_blur2d(x: jax.Array, kernel_y: jax.Array,
             NB = cand
             break
 
+    if variant == "matmul":
+        # banded horizontal operator: S[k + j, j] = wh[k]
+        sh = jnp.zeros((Wp, W), jnp.float32)
+        for k in range(kx):
+            sh = sh.at[jnp.arange(W) + k, jnp.arange(W)].add(wh[0, k])
+        out = pl.pallas_call(
+            functools.partial(_blur_kernel_mm, ky=ky, H=H),
+            grid=(N // NB,),
+            in_specs=[
+                pl.BlockSpec((NB, Hp, Wp), lambda n: (n, 0, 0)),
+                pl.BlockSpec((1, ky), lambda n: (0, 0)),
+                pl.BlockSpec((Wp, W), lambda n: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((NB, H, W), lambda n: (n, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((N, H, W), x.dtype),
+            interpret=interpret,
+        )(xp, wv, sh)
+        return out.reshape(B, C, H, W)
+
+    kern = {"shift": _blur_kernel, "transpose": _blur_kernel_t}[variant]
     out = pl.pallas_call(
-        functools.partial(_blur_kernel, ky=ky, kx=kx, H=H, W=W),
+        functools.partial(kern, ky=ky, kx=kx, H=H, W=W),
         grid=(N // NB,),
         in_specs=[
             pl.BlockSpec((NB, Hp, Wp), lambda n: (n, 0, 0)),
