@@ -98,6 +98,36 @@ class AugmentationBase2D:
         m = params["apply_mask"].reshape(-1, 1, 1)
         return jnp.where(m, M, eye)
 
+    # -- container extension points (reference: base.py:363-502 per-datatype
+    # transform_inputs/masks/boxes/keypoints; _2d/geometric/base.py:77-160)
+    def out_size(self, in_hw: Tuple[int, int]) -> Tuple[int, int]:
+        """Static output (H, W) for input (H, W) — size-changing ops
+        (crop/resize/pad) override."""
+        return in_hw
+
+    def apply_to_mask(self, m: jax.Array, params: Dict[str, jax.Array],
+                      in_hw: Tuple[int, int]) -> jax.Array:
+        """Mask path: intensity ops leave masks unchanged (reference:
+        _2d/intensity/base.py:49)."""
+        return m
+
+    def transform_coords(self, pts: jax.Array, params: Dict[str, jax.Array],
+                         in_hw: Tuple[int, int]) -> jax.Array:
+        """(B, ..., 2) point action — identity for intensity ops."""
+        return pts
+
+    def inverse_coords(self, pts: jax.Array, params: Dict[str, jax.Array],
+                       in_hw: Tuple[int, int]) -> jax.Array:
+        return pts
+
+    def inverse_image(self, x: jax.Array, params: Dict[str, jax.Array],
+                      in_hw: Tuple[int, int], mode: str = "bilinear"
+                      ) -> jax.Array:
+        """Per-op inverse replay (reference: container/augment.py:303) —
+        intensity ops are treated as non-invertible no-ops, matching the
+        reference's inverse semantics."""
+        return x
+
     # -- uniform-sampling helper --------------------------------------------
     def _uniform(self, key: jax.Array, batch: int, lo, hi,
                  shape: Tuple[int, ...] = ()) -> jax.Array:

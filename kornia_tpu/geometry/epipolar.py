@@ -450,7 +450,8 @@ def _exp_so3(w: jax.Array) -> jax.Array:
 
 
 def polish_essential(E: jax.Array, points1: jax.Array, points2: jax.Array,
-                     iters: int = 3) -> jax.Array:
+                     iters: int = 3,
+                     weights: Optional[jax.Array] = None) -> jax.Array:
     """Newton polish of essential candidates ON THE (R, t) MANIFOLD.
 
     Closes the ~1% f32 tail of `run_5point` (det-interpolation +
@@ -463,23 +464,29 @@ def polish_essential(E: jax.Array, points1: jax.Array, points2: jax.Array,
 
     E: (B, R, 3, 3) candidates (unit Frobenius, zeros = invalid);
     points1/2: (B, N, 2) normalized image coordinates.
+    `weights` (B, N) optionally down-weights residuals (e.g. a RANSAC
+    inlier mask) — used for robust local optimization.
     Returns (B, R, 3, 3).
     """
     E = as_float(E)
     p1 = _to_homog(as_float(points1))  # (B, N, 3)
     p2 = _to_homog(as_float(points2))
     B, R_cand = E.shape[:2]
+    if weights is None:
+        sqw = jnp.ones(p1.shape[:2], E.dtype)
+    else:
+        sqw = jnp.sqrt(jnp.maximum(as_float(weights), 0.0))
     valid = jnp.sum(jnp.abs(E), (-1, -2)) > 1e-8  # (B, R)
 
     R1, _R2, t0 = decompose_essential_matrix(
         jnp.where(valid[..., None, None], E,
                   jnp.eye(3, dtype=E.dtype)))  # (B, R, 3, 3), (B, R, 3, 1)
 
-    def res_fn(Rm, tm, x1, x2):
+    def res_fn(Rm, tm, x1, x2, sw):
         Em = _hat(tm) @ Rm
-        return jnp.einsum("ni,ij,nj->n", x2, Em, x1)
+        return sw * jnp.einsum("ni,ij,nj->n", x2, Em, x1)
 
-    def polish_one(Rm, t, x1, x2):
+    def polish_one(Rm, t, x1, x2, sw):
         t = t[..., 0]
 
         def body(carry, _):
@@ -494,7 +501,7 @@ def polish_essential(E: jax.Array, points1: jax.Array, points2: jax.Array,
                 Rn = _exp_so3(d[:3]) @ Rm
                 tn = t + b1 * d[3] + b2 * d[4]
                 tn = tn / jnp.linalg.norm(tn)
-                return res_fn(Rn, tn, x1, x2)
+                return res_fn(Rn, tn, x1, x2, sw)
 
             z = jnp.zeros(5, dtype=t.dtype)
             r = res(z)
@@ -504,7 +511,7 @@ def polish_essential(E: jax.Array, points1: jax.Array, points2: jax.Array,
             Rn = _exp_so3(d[:3]) @ Rm
             tn = t + b1 * d[3] + b2 * d[4]
             tn = tn / jnp.linalg.norm(tn)
-            better = jnp.sum(res_fn(Rn, tn, x1, x2) ** 2) < jnp.sum(r * r)
+            better = jnp.sum(res_fn(Rn, tn, x1, x2, sw) ** 2) < jnp.sum(r * r)
             Rm = jnp.where(better, Rn, Rm)
             t = jnp.where(better, tn, t)
             return (Rm, t), None
@@ -513,12 +520,12 @@ def polish_essential(E: jax.Array, points1: jax.Array, points2: jax.Array,
         return _hat(t) @ Rm / jnp.sqrt(2.0).astype(t.dtype)
 
     E_pol = jax.vmap(  # over batch
-        jax.vmap(polish_one, in_axes=(0, 0, None, None))
-    )(R1, t0, p1, p2)
+        jax.vmap(polish_one, in_axes=(0, 0, None, None, None))
+    )(R1, t0, p1, p2, sqw)
 
     # accept only genuine improvements (and keep invalid slots zero)
     def msr(Em):
-        r = jnp.einsum("bni,brij,bnj->brn", p2, Em, p1)
+        r = sqw[:, None, :] * jnp.einsum("bni,brij,bnj->brn", p2, Em, p1)
         return jnp.mean(r * r, -1)
 
     better = msr(E_pol) < msr(E)

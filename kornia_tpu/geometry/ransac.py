@@ -224,32 +224,50 @@ def ransac(
     best_model = models[best_idx]
     best_score = msac[best_idx]
 
-    # --- polish (IRLS on inliers, reference's local optimization) -----------
-    def polish(model):
+    # --- polish: iterated local optimization (reference: ransac.py:383-393)
+    # Each round refits on the current inlier set, re-scores, and accepts
+    # only improvements — the inlier set expands as the model improves
+    # (expand-and-refit LO). For essential models the refit is a weighted
+    # 8-point projected to the manifold plus a weighted Gauss-Newton on
+    # the (R, t) manifold (epipolar.polish_essential).
+    def lo_round(carry, _):
+        model, score = carry
         err = _error(model_type, points1, points2, model[None])[0]
         w = jnp.where((err < th2) & mask, 1.0, 0.0)
         if model_type == "homography":
-            return find_homography_dlt_iterated(
-                points1[None], points2[None], w[None], n_iter=polish_iters)[0]
-        if model_type in ("fundamental", "fundamental_7pt"):
-            return run_8point(points1[None], points2[None], w[None])[0]
-        # essential: weighted 8-point then project to essential manifold
-        F = run_8point(points1[None], points2[None], w[None])[0]
-        U, _, Vt = jnp.linalg.svd(F)
-        S_ = jnp.array([1.0, 1.0, 0.0], F.dtype)
-        return (U * S_[None, :]) @ Vt
+            refit = find_homography_dlt_iterated(
+                points1[None], points2[None], w[None], n_iter=2)[0]
+        elif model_type in ("fundamental", "fundamental_7pt"):
+            refit = run_8point(points1[None], points2[None], w[None])[0]
+        else:  # essential
+            from .epipolar import polish_essential
+            F = run_8point(points1[None], points2[None], w[None])[0]
+            U, _sv, Vt = jnp.linalg.svd(F)
+            S_ = jnp.array([1.0, 1.0, 0.0], F.dtype)
+            E8 = (U * S_[None, :]) @ Vt
+            # pick the better of {8-point refit, current} as the GN seed
+            cand = jnp.stack([E8, model])[None]  # (1, 2, 3, 3)
+            cand = polish_essential(cand, points1[None], points2[None],
+                                    iters=2, weights=w[None])[0]
+            e_c = _error(model_type, points1, points2, cand)
+            msac_c = jnp.sum(jnp.where(mask[None], jnp.clip(e_c, 0, th2),
+                                       th2), -1)
+            refit = cand[jnp.argmin(msac_c)]
+        err_r = _error(model_type, points1, points2, refit[None])[0]
+        msac_r = jnp.sum(jnp.where(mask, jnp.clip(err_r, 0, th2), th2))
+        better = msac_r < score
+        model = jnp.where(better, refit, model)
+        score = jnp.minimum(msac_r, score)
+        return (model, score), None
 
-    polished = polish(best_model)
-    err_p = _error(model_type, points1, points2, polished[None])[0]
-    msac_p = jnp.sum(jnp.where(mask, jnp.clip(err_p, 0, th2), th2))
-    use_polished = msac_p < best_score
-    final = jnp.where(use_polished, polished, best_model)
+    (final, final_score), _ = jax.lax.scan(
+        lo_round, (best_model, best_score), None, length=polish_iters)
     final_err = _error(model_type, points1, points2, final[None])[0]
     inliers = (final_err < th2) & mask
     return RansacResult(
         model=final,
         inliers=inliers,
-        score=jnp.minimum(msac_p, best_score),
+        score=final_score,
         inlier_count=jnp.sum(inliers),
     )
 
