@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""North-star trajectory accuracy: ATE RMSE on rendered GT sequences.
+
+Real TUM/ETH3D data cannot be staged (no network egress), so the harness
+renders exact-ground-truth sequences with the same structure classes
+(TUM-style handheld forward walk, ETH3D-style inward orbit) via the
+analytic ray tracer in kornia_tpu/utils/render.py.
+
+Three pipelines are compared on IDENTICAL correspondences:
+  ours-chained   kornia_tpu two-view E/H RANSAC + scale propagation
+  ours-refined   + global/windowed bundle adjustment over chained tracks
+  reference      kornia (torch CPU) 5-point essential RANSAC
+                 (geometry/ransac.py:42 + epipolar/essential.py:748) on the
+                 same matches, poses chained with GT step scale
+
+The reference pipeline has no scale propagation or BA, so its chaining is
+given GROUND-TRUTH per-step baselines (the standard two-view eval
+protocol — generous to the reference). Ours-chained uses its own
+propagated scales; ATE alignment is Sim(3) (Umeyama with scale).
+
+Usage: python benchmarks/ate_bench.py [--frames 12] [--size 240 320] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cam_centers(poses):
+    import numpy as np
+    return np.stack([-p[:3, :3].T @ p[:3, 3] for p in poses])
+
+
+def run_reference_chained(kps, pair_next, pair_inl_mask, K_np, traj, rng_seed=0):
+    """Reference kornia two-view pipeline on OUR matches; GT step scale."""
+    import numpy as np
+    sys.path.append("/root/reference")
+    sys.modules.setdefault("kornia_rs", types.ModuleType("kornia_rs"))
+    import torch
+    import kornia.geometry as KG
+
+    f = 0.5 * float(K_np[0, 0] + K_np[1, 1])
+    ransac = KG.RANSAC(model_type="essential", inl_th=1.5 / f,
+                       batch_size=1024, max_iter=8)
+    Kt = torch.from_numpy(K_np).float()
+    eye = torch.eye(3)[None]
+    poses = [np.eye(4)]
+    T_prev = np.eye(4)
+    for i in range(1, len(kps)):
+        nxt = pair_next[i - 1]
+        valid = pair_inl_mask[i - 1]
+        js = np.nonzero(valid)[0]
+        kp0 = torch.from_numpy(kps[i - 1][js]).float()
+        kp1 = torch.from_numpy(kps[i][nxt[js]]).float()
+        x0 = KG.normalize_points_with_intrinsics(kp0[None], Kt[None])
+        x1 = KG.normalize_points_with_intrinsics(kp1[None], Kt[None])
+        try:
+            E, _ = ransac(x0[0], x1[0], weights=None)
+            R, t, _ = KG.motion_from_essential_choose_solution(
+                E[None], eye, eye, x0, x1)
+            R = R[0].numpy()
+            tdir = t[0, :, 0].numpy()
+            tdir = tdir / max(np.linalg.norm(tdir), 1e-9)
+        except Exception as e:  # degenerate pair: keep previous motion
+            print(f"  [reference] step {i} failed: {e}", file=sys.stderr)
+            R = np.eye(3)
+            tdir = np.zeros(3)
+        # GT scale (monocular ambiguity resolved for the reference)
+        Trel_gt = traj[i] @ np.linalg.inv(traj[i - 1])
+        s = np.linalg.norm(Trel_gt[:3, 3])
+        Trel = np.eye(4)
+        Trel[:3, :3] = R
+        Trel[:3, 3] = s * tdir
+        T_prev = Trel @ T_prev
+        poses.append(T_prev.copy())
+    return poses
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--size", type=int, nargs=2, default=(240, 320))
+    ap.add_argument("--features", type=int, default=512)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip-reference", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kornia_tpu.metrics.metrics import ate_rmse
+    from kornia_tpu.slam.vo import VisualOdometry
+    from kornia_tpu.utils.render import (make_room_scene, orbit_trajectory,
+                                         render_sequence, walk_trajectory)
+
+    H, W = args.size
+    K = jnp.array([[0.8 * W, 0.0, W / 2], [0.0, 0.8 * W, H / 2],
+                   [0.0, 0.0, 1.0]], jnp.float32)
+    K_np = np.asarray(K)
+    scene = make_room_scene(tex_size=256)
+
+    rows = []
+    for name, traj in [
+        ("walk (TUM-style)", walk_trajectory(args.frames, depth=10.0)),
+        ("orbit (ETH3D-style)", orbit_trajectory(args.frames)),
+    ]:
+        frames, _ = render_sequence(scene, K, traj, H, W)
+        gt_c = cam_centers(traj)
+        L = float(np.sum(np.linalg.norm(np.diff(gt_c, axis=0), axis=1)))
+        vo = VisualOdometry(K, num_features=args.features,
+                            ransac_iters=8, ransac_batch=1024)
+
+        t0 = time.perf_counter()
+        res_ch = vo.run(frames, refine=False)
+        t_ch = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res_rf = vo.run(frames, refine=True)
+        t_rf = time.perf_counter() - t0
+
+        def ate(poses):
+            return float(ate_rmse(jnp.asarray(cam_centers(poses)),
+                                  jnp.asarray(gt_c), with_scale=True))
+
+        a_ch, a_rf = ate(res_ch.poses), ate(res_rf.poses)
+
+        a_ref = float("nan")
+        if not args.skip_reference:
+            # replay detection/matching to hand the reference OUR raw
+            # mutual-SNN matches (pre-RANSAC) — it runs its own RANSAC
+            from kornia_tpu.feature.matching import match_smnn
+            detect = vo._detect_fn()
+            match = jax.jit(lambda a, b, va, vb: match_smnn(
+                a, b, vo.matcher_th, va, vb))
+            kps, nexts, matchmask = [], [], []
+            kp_p, d_p, v_p = detect(frames[0])
+            kps.append(np.asarray(kp_p))
+            for i in range(1, len(frames)):
+                kp_c, d_c, v_c = detect(frames[i])
+                _dist, idx, mvalid = match(d_p, d_c, v_p, v_c)
+                kps.append(np.asarray(kp_c))
+                nexts.append(np.asarray(idx[:, 1]))
+                matchmask.append(np.asarray(mvalid))
+                kp_p, d_p, v_p = kp_c, d_c, v_c
+            ref_poses = run_reference_chained(kps, nexts, matchmask, K_np,
+                                              traj)
+            a_ref = ate(ref_poses)
+
+        rows.append((name, L, a_ch, a_rf, a_ref, t_ch, t_rf))
+
+    print(f"\n== ATE RMSE (Sim3-aligned), {args.frames} frames at {H}x{W}, "
+          f"{args.features} features, device={jax.devices()[0].platform} ==")
+    print(f"{'sequence':<22}{'len':>6}{'chained':>10}{'refined':>10}"
+          f"{'reference':>11}{'t_chain':>9}{'t_refine':>10}")
+    for name, L, a_ch, a_rf, a_ref, t_ch, t_rf in rows:
+        print(f"{name:<22}{L:>6.2f}{a_ch:>10.4f}{a_rf:>10.4f}{a_ref:>11.4f}"
+              f"{t_ch:>8.1f}s{t_rf:>9.1f}s")
+    for name, L, a_ch, a_rf, a_ref, *_ in rows:
+        print(f"{name}: chained {100*a_ch/L:.2f}%  refined {100*a_rf/L:.2f}%"
+              f"  reference {100*a_ref/L:.2f}%  (of trajectory length)")
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,7 @@ from ..core.dtype import as_float
 from ..core.linalg import lstsq_nullspace
 
 __all__ = [
+    "pnp_ransac",
     "solve_pnp_dlt",
     "distort_points",
     "undistort_points",
@@ -65,6 +66,97 @@ def solve_pnp_dlt(world_points: jax.Array, img_points: jax.Array,
     # estimated R is valid; translation must be rescaled:
     t_full = (t - jnp.einsum("bij,bj->bi", R, cen[:, 0]) / scale[:, None]) * scale[:, None]
     return jnp.concatenate([R, t_full[..., None]], axis=-1)
+
+
+def pnp_ransac(world_points: jax.Array, img_points: jax.Array,
+               key: jax.Array, inl_th: float, mask: Optional[jax.Array] = None,
+               batch_size: int = 256, gn_iters: int = 5
+               ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Robust 3D-2D pose: batched minimal DLT samples + MSAC scoring +
+    pose-only Gauss-Newton polish on the inlier set, one jitted program
+    (no reference counterpart — kornia's PnP is the plain DLT,
+    calibration/pnp.py:59; the RANSAC wrapper is this framework's VO
+    tracking primitive).
+
+    world_points: (N, 3); img_points: (N, 2) NORMALIZED camera coords;
+    inl_th: inlier threshold in normalized units. Returns
+    (R (3, 3), t (3,), inliers (N,), inlier_count) — world→camera.
+    """
+    world_points = as_float(world_points)
+    img_points = as_float(img_points)
+    N = world_points.shape[0]
+    if mask is None:
+        mask = jnp.ones(N, dtype=bool)
+    th2 = inl_th * inl_th
+
+    # --- minimal samples (6-pt DLT), gumbel top-k over valid entries ----
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    g = jax.random.gumbel(key, (batch_size, N)) + logits[None]
+    _, sidx = jax.lax.top_k(g, 6)  # (S, 6)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=world_points.dtype),
+                           (batch_size, 3, 3))
+    P = solve_pnp_dlt(world_points[sidx], img_points[sidx], eye)  # (S, 3, 4)
+
+    def reproj_err2(P_):
+        Xc = jnp.einsum("sij,nj->sni", P_[:, :, :3], world_points) \
+            + P_[:, None, :, 3]
+        z = Xc[..., 2]
+        proj = Xc[..., :2] / jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)[..., None]
+        err = jnp.sum((proj - img_points[None]) ** 2, -1)
+        return jnp.where(z > 1e-6, err, jnp.inf)  # cheirality
+
+    err = reproj_err2(P)  # (S, N)
+    err = jnp.where(mask[None], err, th2)
+    msac = jnp.sum(jnp.clip(err, 0.0, th2), -1)
+    best = jnp.argmin(msac)
+    P_best = P[best]
+
+    # --- pose-only GN on the (soft-updated) inlier set ------------------
+    def project_res(Rm, tm):
+        Xc = world_points @ Rm.T + tm
+        z = jnp.where(jnp.abs(Xc[:, 2]) > 1e-8, Xc[:, 2], 1e-8)
+        return Xc[:, :2] / z[:, None] - img_points, Xc[:, 2]
+
+    def gn_step(carry, _):
+        Rm, tm = carry
+        r, z = project_res(Rm, tm)
+        w = (jnp.sum(r * r, -1) < th2) & (z > 1e-6) & mask
+        wf = w.astype(Rm.dtype)
+
+        def res_at(dx):
+            Rn = _exp_so3_cal(dx[:3]) @ Rm
+            tn = tm + dx[3:]
+            rr, _ = project_res(Rn, tn)
+            return (rr * wf[:, None]).reshape(-1)
+
+        J = jax.jacfwd(res_at)(jnp.zeros(6, Rm.dtype))  # (2N, 6)
+        r0 = (r * wf[:, None]).reshape(-1)
+        H = J.T @ J + 1e-6 * jnp.eye(6, dtype=Rm.dtype)
+        dx = -jnp.linalg.solve(H, J.T @ r0)
+        Rn = _exp_so3_cal(dx[:3]) @ Rm
+        tn = tm + dx[3:]
+        rn, zn = project_res(Rn, tn)
+        better = jnp.sum(jnp.clip(jnp.sum(rn * rn, -1), 0, th2) * wf) < \
+            jnp.sum(jnp.clip(jnp.sum(r * r, -1), 0, th2) * wf)
+        Rm = jnp.where(better, Rn, Rm)
+        tm = jnp.where(better, tn, tm)
+        return (Rm, tm), None
+
+    (R, t), _ = jax.lax.scan(gn_step, (P_best[:, :3], P_best[:, 3]), None,
+                             length=gn_iters)
+    r, z = project_res(R, t)
+    inliers = (jnp.sum(r * r, -1) < th2) & (z > 1e-6) & mask
+    return R, t, inliers, jnp.sum(inliers)
+
+
+def _exp_so3_cal(w: jax.Array) -> jax.Array:
+    """Rodrigues exp map (local copy to avoid an import cycle)."""
+    th = jnp.linalg.norm(w) + 1e-12
+    k = w / th
+    Kx = jnp.array([[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]],
+                    [-k[1], k[0], 0.0]], w.dtype)
+    return (jnp.eye(3, dtype=w.dtype) + jnp.sin(th) * Kx
+            + (1.0 - jnp.cos(th)) * (Kx @ Kx))
 
 
 def distort_points(points: jax.Array, K: jax.Array, dist: jax.Array,

@@ -249,13 +249,22 @@ def conv_quad_interp3d(x: jax.Array, strict_maxima_bonus: float = 10.0,
         axis=-2,
     )  # (B, C, D, H, W, 3, 3)
     g = jnp.stack([gx, gy, gs], axis=-1)[..., None]  # (..., 3, 1)
-    # solve H dx = -g with regularization; clamp offsets to [-0.5, 0.5]
+    # solve H dx = -g with regularization; clamp offsets to [-0.5, 0.5].
+    # The degeneracy test MUST be scale-invariant: response magnitudes are
+    # arbitrary (GFTT scores are ~1e-4, so det(H) ~ 1e-12 — an absolute
+    # eps silently zeroed every offset and quantized keypoints to the
+    # integer grid, costing ~1 px of localization accuracy).
     eye = jnp.eye(3, dtype=x.dtype)
-    Hreg = Hmat + eps * eye
-    det = jnp.linalg.det(Hreg)
-    ok = jnp.abs(det) > eps
-    Hsafe = jnp.where(ok[..., None, None], Hreg, eye)
-    offset = -jnp.linalg.solve(Hsafe, g)[..., 0]  # (B, C, D, H, W, 3)
+    hscale = jnp.maximum(jnp.max(jnp.abs(Hmat), axis=(-1, -2)), 1e-20)
+    Hn = Hmat / hscale[..., None, None] + eps * eye
+    gn = g / hscale[..., None, None]
+    # closed-form cofactor solve: per-voxel LU (jnp.linalg.solve) lowers to
+    # scalar pivoting code that runs ~30x slower than elementwise math on
+    # the TPU VPU; the cofactor determinant doubles as the degeneracy test
+    from ..core.linalg import det_3x3, inverse_3x3
+    det = det_3x3(Hn)
+    ok = jnp.abs(det) > 1e-6
+    offset = -jnp.einsum("...ij,...j->...i", inverse_3x3(Hn), gn[..., 0])
     offset = jnp.where(ok[..., None], offset, 0.0)
     offset = jnp.clip(offset, -0.5, 0.5)
     dval = 0.5 * jnp.sum(g[..., 0] * offset, axis=-1)

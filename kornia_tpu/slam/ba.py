@@ -158,7 +158,7 @@ def _build_normal_eqs(state: BAState, problem: BAProblem, C: int, P: int,
     return H_cc, H_pp, W, b_c, b_p, cost, r
 
 
-def _schur_solve(H_cc, H_pp, W, b_c, b_p, lam, fix_first_cam: bool):
+def _schur_solve(H_cc, H_pp, W, b_c, b_p, lam, fix_first_cam: int):
     """Solve the damped normal equations via the Schur complement."""
     C = H_cc.shape[0]
     P = H_pp.shape[0]
@@ -177,9 +177,12 @@ def _schur_solve(H_cc, H_pp, W, b_c, b_p, lam, fix_first_cam: bool):
 
     S_mat = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
     rhs_vec = rhs.reshape(C * 6)
-    if fix_first_cam:
-        # gauge fixing: zero out first camera's rows/cols, unit diagonal
-        mask = jnp.concatenate([jnp.zeros(6), jnp.ones(6 * (C - 1))])
+    n_fix = int(fix_first_cam)
+    if n_fix:
+        # gauge fixing: zero out the first n_fix cameras' rows/cols, unit
+        # diagonal (monocular windows fix TWO cameras: 6-dof frame + scale)
+        mask = jnp.concatenate([jnp.zeros(6 * n_fix),
+                                jnp.ones(6 * (C - n_fix))])
         S_mat = S_mat * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
         rhs_vec = rhs_vec * mask
     # solve via Cholesky (S is SPD after damping)
@@ -210,9 +213,13 @@ def bundle_adjust(
     init_lambda: float = 1e-3,
     robust_delta: float = 3.0,
     robust: str = "huber",
-    fix_first_cam: bool = True,
+    fix_first_cam: int = 1,
 ) -> Tuple[BAState, jax.Array]:
     """Levenberg-Marquardt BA. Returns (state, per-iteration costs).
+
+    fix_first_cam: number of leading cameras held fixed for gauge freedom
+    (bool accepted: True == 1). Monocular sliding windows should fix 2 —
+    the 7th (scale) gauge dof is anchored by the second pose.
 
     robust: 'huber' | 'cauchy' | 'geman_mcclure' | 'tukey' | 'none'.
     Cauchy is the best default under gross outliers; the redescending
@@ -237,7 +244,7 @@ def bundle_adjust(
             state, problem, C, P, weight_fn)
         dx_c, dx_p = _schur_solve(H_cc, H_pp, W, b_c, b_p, lam, fix_first_cam)
         if fix_first_cam:
-            dx_c = dx_c.at[0].set(0.0)
+            dx_c = dx_c.at[:int(fix_first_cam)].set(0.0)
         new_state = _apply_step(state, dx_c, dx_p)
         _, _, _, _, _, new_cost, _ = _build_normal_eqs(
             new_state, problem, C, P, weight_fn)

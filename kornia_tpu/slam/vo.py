@@ -32,9 +32,10 @@ from ..geometry.epipolar import (
     projection_from_KRt,
     triangulate_points,
 )
+from ..geometry.calibration import pnp_ransac
 from ..geometry.liegroup import Se3, So3
-from ..geometry.ransac import ransac
-from .ba import BAProblem, BAState, bundle_adjust
+from ..geometry.ransac import _error as _ransac_error, ransac
+from .ba import BAProblem, BAState, bundle_adjust, reprojection_residuals
 
 __all__ = ["VisualOdometry", "VOResult"]
 
@@ -63,14 +64,17 @@ class VisualOdometry:
     def __init__(self, K: jax.Array, num_features: int = 512,
                  window: int = 5, ransac_iters: int = 8,
                  ransac_batch: int = 1024, inl_th_px: float = 1.5,
-                 ba_iters: int = 6, matcher_th: float = 0.95):
+                 ba_iters: int = 12, matcher_th: float = 0.95,
+                 global_ba_frames: int = 64):
         self.K = K
         self.window = window
         self.ba_iters = ba_iters
+        self.global_ba_frames = global_ba_frames
         self.ransac_iters = ransac_iters
         self.ransac_batch = ransac_batch
         self.inl_th_px = inl_th_px
         self.matcher_th = matcher_th
+        self.pnp_min_inliers = 20
         # corners (GFTT) give denser, better-distributed tracks than DoG
         # blobs for frame-to-frame odometry
         self.feature = GFTTSIFTFeature(num_features=num_features)
@@ -94,20 +98,33 @@ class VisualOdometry:
         self._detect_jit = fn
         return fn
 
-    # -- jitted stage 2: pair pose + scale propagation --------------------
+    # -- jitted stage 2: pair pose + map update --------------------------
     def _pair_fn(self):
         if self._pair_jit is not None:
             return self._pair_jit
         rb, ri, mth = self.ransac_batch, self.ransac_iters, self.matcher_th
+        pnp_min = self.pnp_min_inliers
 
         @jax.jit
         def fn(kp0, d0, v0, kp1, d1, v1, K, key, inl_th,
-               depth_prev, has_prev):
+               depth_prev, has_prev, R0, t0):
+            """One tracking step (frame i-1 → i), absolute poses.
+
+            depth_prev: (K,) per-keypoint map depth in frame i-1's camera,
+            WORLD scale (0 = no map point). R0/t0: world→cam(i-1).
+            Tracking is PnP RANSAC against the back-projected map
+            (ORB-SLAM's 3D-2D tracking); the E/H two-view branch seeds the
+            first pair and re-bootstraps after tracking loss — a 3D-2D
+            solve is immune to the two-view rotation/translation
+            ambiguity of near-forward motion.
+            """
             dists, idx, mvalid = match_smnn(d0, d1, mth, v0, v1)
             mkp1 = kp1[idx[:, 1]]
             x0 = normalize_points_with_intrinsics(kp0, K)
             x1 = normalize_points_with_intrinsics(mkp1, K)
-            k_e, k_h = jax.random.split(key)
+            k_e, k_h, k_p = jax.random.split(key, 3)
+
+            # --- branch A: two-view E/H (bootstrap + fallback) ----------
             res_e = ransac(x0, x1, k_e, "essential", inl_th=inl_th,
                            batch_size=rb, max_iterations=ri, mask=mvalid)
             res_h = ransac(x0, x1, k_h, "homography", inl_th=inl_th,
@@ -122,49 +139,94 @@ class VisualOdometry:
             # nearly as many correspondences as E
             use_h = res_h.inlier_count > 0.85 * jnp.maximum(
                 res_e.inlier_count, 1)
-            R = jnp.where(use_h, R_h[0], R_e[0])
-            t = jnp.where(use_h, t_h[0], t_e[0])
-            inliers = jnp.where(use_h, res_h.inliers, res_e.inliers) & mvalid
-            n_inl = jnp.where(use_h, res_h.inlier_count, res_e.inlier_count)
-            t = t[:, 0] / jnp.maximum(jnp.linalg.norm(t[:, 0]), 1e-9)
+            R2v = jnp.where(use_h, R_h[0], R_e[0])
+            t2v = jnp.where(use_h, t_h[0], t_e[0])
+            inl_2v = jnp.where(use_h, res_h.inliers, res_e.inliers) & mvalid
+            n_2v = jnp.where(use_h, res_h.inlier_count, res_e.inlier_count)
+            t2v = t2v[:, 0] / jnp.maximum(jnp.linalg.norm(t2v[:, 0]), 1e-9)
 
-            # triangulate inliers with unit baseline: depths in frame-0 and
-            # frame-1 camera frames
-            P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], -1)
-            P1 = jnp.concatenate([R, t[:, None]], -1)
-            X = triangulate_points(P0[None], P1[None], x0[None], x1[None])[0]
-            z0 = X[:, 2]
-            z1 = (X @ R.T + t)[:, 2]
-            good = inliers & (z0 > 1e-3) & (z1 > 1e-3)
-
-            # scale from common tracks: frame-0 keypoint k of this pair is
-            # row k of the match table (idx[:, 0] == arange); the previous
-            # pair filled depth_prev[k] with its scaled depth
-            prev_d = depth_prev
-            common = good & (prev_d > 0.0)
-            ratio = prev_d / jnp.maximum(z0, 1e-9)
+            # two-view translation scale from map-depth ratios
+            P0u = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], -1)
+            P1u = jnp.concatenate([R2v, t2v[:, None]], -1)
+            Xu = triangulate_points(P0u[None], P1u[None],
+                                    x0[None], x1[None])[0]
+            zu0 = Xu[:, 2]
+            zu1 = (Xu @ R2v.T + t2v)[:, 2]
+            good_u = inl_2v & (zu0 > 1e-3) & (zu1 > 1e-3)
+            common = good_u & (depth_prev > 0.0)
+            ratio = depth_prev / jnp.maximum(zu0, 1e-9)
             scale = _masked_median(ratio, common, fill=1.0)
             scale = jnp.where(has_prev & (jnp.sum(common) >= 5), scale, 1.0)
             scale = jnp.clip(scale, 0.05, 20.0)
-            t = t * scale
+            R1_2v = R2v @ R0
+            t1_2v = R2v @ t0 + scale * t2v
 
-            # depth table for frame 1 (next pair's frame 0), at this
-            # pair's scale; scatter by the frame-1 keypoint index (drop
-            # duplicate targets — last write wins, harmless for a median)
-            z1_scaled = jnp.where(good, z1 * scale, 0.0)
+            # --- branch B: PnP against the map (primary tracking) -------
+            x0h = jnp.concatenate([x0, jnp.ones_like(x0[:, :1])], -1)
+            Xc0 = depth_prev[:, None] * x0h  # (K, 3) cam(i-1) frame
+            Xw = (Xc0 - t0) @ R0  # R0^T (Xc0 - t0)
+            map_ok = mvalid & (depth_prev > 0.0)
+            R1_p, t1_p, inl_p, n_p = pnp_ransac(
+                Xw, x1, k_p, 2.0 * inl_th, mask=map_ok,
+                batch_size=rb // 2, gn_iters=5)
+
+            # PnP wins only with BOTH absolute support and a healthy
+            # inlier ratio — a sparse/noisy map must not override a
+            # well-conditioned two-view estimate (e.g. sideways orbits)
+            n_map = jnp.sum(map_ok)
+            use_pnp = has_prev & (n_p >= pnp_min) & \
+                (n_p >= 0.6 * jnp.maximum(n_map, 1))
+            R1 = jnp.where(use_pnp, R1_p, R1_2v)
+            t1 = jnp.where(use_pnp, t1_p, t1_2v)
+            inliers = jnp.where(use_pnp, inl_p, inl_2v)
+            n_inl = jnp.where(use_pnp, n_p, n_2v)
+
+            # --- map update: triangulate matches at WORLD scale ---------
+            R_rel = R1 @ R0.T
+            t_rel = t1 - R_rel @ t0
+            P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], -1)
+            P1 = jnp.concatenate([R_rel, t_rel[:, None]], -1)
+            X = triangulate_points(P0[None], P1[None], x0[None], x1[None])[0]
+            z0 = X[:, 2]
+            z1 = (X @ R_rel.T + t_rel)[:, 2]
+
+            # BA track gate: a LOOSE (5x) residual bound under EITHER final
+            # two-view model. The tight inlier set of a wrong-but-high-
+            # scoring model contains exactly the points that reproduce it;
+            # raw mutual-SNN matches carry ~40% gross outliers. The loose
+            # either-model band keeps true-geometry matches while dropping
+            # gross mismatches.
+            e_e = _ransac_error("essential", x0, x1, res_e.model[None])[0]
+            e_h = _ransac_error("homography", x0, x1, res_h.model[None])[0]
+            loose = 25.0 * inl_th * inl_th
+            track_mask = mvalid & ((e_e < loose) | (e_h < loose))
+
+            good = track_mask & (z0 > 1e-3) & (z1 > 1e-3) \
+                & (jnp.linalg.norm(t_rel) > 1e-6)
             depth_next = jnp.zeros_like(depth_prev)
-            depth_next = depth_next.at[idx[:, 1]].set(z1_scaled)
-            return R, t, inliers, n_inl, depth_next
+            depth_next = depth_next.at[idx[:, 1]].set(
+                jnp.where(good, z1, 0.0))
+            diag = jnp.stack([jnp.sum(map_ok).astype(jnp.float32),
+                              n_p.astype(jnp.float32),
+                              use_pnp.astype(jnp.float32),
+                              n_2v.astype(jnp.float32), scale])
+            return R1, t1, inliers, n_inl, depth_next, idx, track_mask, diag
 
         self._pair_jit = fn
         return fn
 
-    def run(self, frames: List[jax.Array], key: Optional[jax.Array] = None
-            ) -> VOResult:
+    def run(self, frames: List[jax.Array], key: Optional[jax.Array] = None,
+            refine: bool = True, verbose: bool = False) -> VOResult:
         """frames: list of (1, 1|3, H, W) images. Returns world→cam poses
         with the first frame as identity; the first step's baseline fixes
         the monocular scale, later steps propagate it through shared
-        tracks."""
+        tracks.
+
+        `refine` runs sliding-window bundle adjustment over chained
+        multi-frame tracks after pose chaining — the multi-view
+        constraints break the two-view rotation/translation ambiguity
+        that dominates near-forward motion (ORB-SLAM's local-mapping
+        role; two-view chaining alone leaves 5-10x more drift)."""
         if key is None:
             key = jax.random.PRNGKey(0)
         detect = self._detect_fn()
@@ -174,25 +236,286 @@ class VisualOdometry:
 
         poses = [np.eye(4)]
         inliers = []
-        T_w_prev = Se3.identity()
+        kps_np: List[np.ndarray] = []
+        pair_next: List[np.ndarray] = []  # per pair: (K,) next-frame index
+        pair_inl: List[np.ndarray] = []  # per pair: (K,) inlier mask
         kp_prev, d_prev, v_prev = detect(frames[0])
+        kps_np.append(np.asarray(kp_prev))
         Kf = kp_prev.shape[0]
         depth_prev = jnp.zeros((Kf,), jnp.float32)
         has_prev = jnp.asarray(False)
+        R_prev = jnp.eye(3, dtype=jnp.float32)
+        t_prev = jnp.zeros(3, jnp.float32)
+        W = self.window
         for i in range(1, len(frames)):
             key, sub = jax.random.split(key)
             kp_cur, d_cur, v_cur = detect(frames[i])
-            R, t, inl, n_inl, depth_prev = pair(
+            (R_cur, t_cur, inl, n_inl, depth_prev, idx, track_mask,
+             diag) = pair(
                 kp_prev, d_prev, v_prev, kp_cur, d_cur, v_cur,
-                self.K, sub, inl_th, depth_prev, has_prev)
+                self.K, sub, inl_th, depth_prev, has_prev, R_prev, t_prev)
             has_prev = jnp.asarray(True)
-            T_rel = Se3(So3.from_matrix(R), t)
-            T_w_cur = T_rel * T_w_prev
-            poses.append(np.asarray(T_w_cur.matrix()))
+            M = np.eye(4)
+            M[:3, :3] = np.asarray(R_cur)
+            M[:3, 3] = np.asarray(t_cur)
+            poses.append(M)
             inliers.append(int(n_inl))
-            T_w_prev = T_w_cur
+            if verbose:
+                d = np.asarray(diag)
+                print(f"  [vo] frame {i}: map={int(d[0])} pnp_inl={int(d[1])} "
+                      f"use_pnp={bool(d[2])} n_2v={int(d[3])} "
+                      f"scale={d[4]:.3f}")
+            kps_np.append(np.asarray(kp_cur))
+            pair_next.append(np.asarray(idx[:, 1]))
+            # BA tracks use the loose either-model gate, NOT the tight
+            # RANSAC inliers: a wrong-but-high-scoring two-view model gates
+            # in exactly the observations that reproduce it — the robust
+            # multi-view BA must see wider evidence to break ties
+            pair_inl.append(np.asarray(track_mask))
+            if refine and i >= 2:
+                # incremental local BA (ORB-SLAM local-mapping role): refine
+                # the last <=W poses NOW, before the next tracking step —
+                # a bad step is corrected before its error contaminates
+                # the map and downstream initializations
+                s = max(0, i - W + 1)
+                ba_depth = self._refine_span(kps_np, pair_next, pair_inl,
+                                             poses, s, i - s + 1)
+                if ba_depth is not None:
+                    # PnP tracks against the BA-refined map where
+                    # available; pair-triangulated depths fill the gaps
+                    # (new tracks not yet in a refined window)
+                    ba_d = jnp.asarray(ba_depth)
+                    depth_prev = jnp.where(ba_d > 0.0, ba_d, depth_prev)
+            R_prev = jnp.asarray(poses[i][:3, :3], jnp.float32)
+            t_prev = jnp.asarray(poses[i][:3, 3], jnp.float32)
             kp_prev, d_prev, v_prev = kp_cur, d_cur, v_cur
+        if refine and 3 <= len(frames) <= self.global_ba_frames:
+            # final smoothing pass over the whole sequence (gauge anchored
+            # at the first two poses only)
+            poses = self._refine_tracks(kps_np, pair_next, pair_inl, poses)
         return VOResult(poses=poses, num_inliers=inliers)
+
+    # -- sliding-window BA over chained tracks ----------------------------
+    def _ba_window_fn(self, C: int, T_max: int, O_max: int):
+        """Jitted fixed-shape window BA: triangulate tracks from their
+        first/last observations, then LM with the first TWO cameras fixed
+        (monocular gauge: 6-dof frame + scale)."""
+        key = (C, T_max, O_max)
+        cache = getattr(self, "_ba_jits", None)
+        if cache is None:
+            cache = self._ba_jits = {}
+        if key in cache:
+            return cache[key]
+        ba_iters = self.ba_iters
+
+        @jax.jit
+        def fn(R_stack, t_stack, obs_cam, obs_trk, obs_uv, obs_valid,
+               tri_cam0, tri_uv0, tri_cam1, tri_uv1, trk_valid, K):
+            P_all = projection_from_KRt(
+                jnp.broadcast_to(K, (C, 3, 3)), R_stack, t_stack[..., None])
+            X = triangulate_points(
+                P_all[tri_cam0], P_all[tri_cam1],
+                tri_uv0[:, None], tri_uv1[:, None])[:, 0]  # (T, 3)
+            # cheirality guard: a track behind either triangulating camera
+            # is excluded (its observations masked out)
+            Xc0 = jnp.einsum("tij,tj->ti", R_stack[tri_cam0], X) + t_stack[tri_cam0]
+            Xc1 = jnp.einsum("tij,tj->ti", R_stack[tri_cam1], X) + t_stack[tri_cam1]
+            ok = trk_valid & (Xc0[:, 2] > 1e-4) & (Xc1[:, 2] > 1e-4)
+            valid = obs_valid & ok[obs_trk]
+            problem = BAProblem(obs_cam, obs_trk, obs_uv, valid, K)
+            state0 = BAState(Se3(So3.from_matrix(R_stack), t_stack),
+                             jnp.where(ok[:, None], X, 1.0))
+            # graduated non-convexity: a chained init can put a camera
+            # 10+ degrees off (reprojections ~40 px), and a tight robust
+            # kernel would zero those residuals' influence — so anneal the
+            # scale: wide huber pulls gross pose errors in, cauchy handles
+            # the true outliers, then a tight re-gated huber polish
+            state, c0 = bundle_adjust(
+                state0, problem, C, T_max, num_iters=max(ba_iters // 2, 4),
+                robust="huber", robust_delta=24.0, fix_first_cam=2)
+            state, c1 = bundle_adjust(
+                state, problem, C, T_max, num_iters=ba_iters,
+                robust="cauchy", robust_delta=2.0, fix_first_cam=2)
+            # re-gate observations at 2 px and polish with a tight huber —
+            # removes the residual outlier bias smooth weighting leaves
+            res = reprojection_residuals(state, problem)
+            good = valid & (jnp.sum(res * res, -1) < 4.0)
+            problem2 = BAProblem(obs_cam, obs_trk, obs_uv, good, K)
+            state, c2 = bundle_adjust(
+                state, problem2, C, T_max, num_iters=max(ba_iters // 2, 3),
+                robust="huber", robust_delta=1.0, fix_first_cam=2)
+            return (state.poses.matrix(), state.points, ok,
+                    jnp.concatenate([c0, c1, c2]))
+
+        cache[key] = fn
+        return fn
+
+    def _refine_tracks(self, kps: List[np.ndarray], pair_next: List[np.ndarray],
+                       pair_inl: List[np.ndarray], poses: List[np.ndarray]
+                       ) -> List[np.ndarray]:
+        """Chain per-pair inlier matches into multi-frame tracks and
+        bundle-adjust (host-side bookkeeping between two jitted
+        executables).
+
+        Sequences up to `global_ba_frames` are refined as ONE window —
+        anchoring only the gauge (first two poses) lets BA correct every
+        chaining error. Longer sequences fall back to sliding windows of
+        `self.window` frames with stride W-2 (each window inherits two
+        refined anchors from its predecessor; drift beyond the window
+        horizon is the usual odometry behavior — loop closure lives in
+        slam/posegraph.py)."""
+        N = len(kps)
+        if N >= 3 and N <= self.global_ba_frames:
+            windows = [(0, N)]
+        else:
+            W = min(self.window, N)
+            if W < 3:
+                return poses
+            starts = list(range(0, N - W + 1, W - 2))
+            if starts[-1] != N - W:
+                starts.append(N - W)
+            windows = [(s, W) for s in starts]
+        poses = [p.copy() for p in poses]
+        for s, W in windows:
+            self._refine_span(kps, pair_next, pair_inl, poses, s, W)
+        return poses
+
+    def _refine_span(self, kps, pair_next, pair_inl, poses, s: int, W: int):
+        """Bundle-adjust frames [s, s+W) in place (first two fixed).
+
+        Returns the refined map depth table for frame s+W-1 — (Kf,) z in
+        that camera, world scale, 0 where no refined track exists — or
+        None when the window could not be built. The tracker's PnP runs
+        against THIS map (BA-refined, multi-baseline triangulation), not
+        the noisy single-pair triangulations."""
+        if W < 3:
+            return None
+        Kf = kps[0].shape[0]
+        # track budget: keeps the dense Schur coupling block (C, T, 6, 3)
+        # HBM-friendly at long-window sizes
+        T_budget = min(Kf * (W - 1), 4096)
+        O_budget = min(2 * Kf * (W - 1), Kf * W)
+        built = self._build_window_tracks(kps, pair_next, pair_inl, s, W,
+                                          T_budget, O_budget)
+        if built is None:
+            return None
+        (obs_cam, obs_trk, obs_uv, obs_valid, first_cam, first_uv,
+         last_cam, last_uv, trk_valid, kp_at_last) = built
+        ba = self._ba_window_fn(W, T_budget, O_budget)
+        R_stack = jnp.asarray(
+            np.stack([poses[s + i][:3, :3] for i in range(W)]), jnp.float32)
+        t_stack = jnp.asarray(
+            np.stack([poses[s + i][:3, 3] for i in range(W)]), jnp.float32)
+        M, X, ok, _costs = ba(
+            R_stack, t_stack,
+            jnp.asarray(obs_cam, jnp.int32), jnp.asarray(obs_trk, jnp.int32),
+            jnp.asarray(obs_uv), jnp.asarray(obs_valid),
+            jnp.asarray(first_cam, jnp.int32), jnp.asarray(first_uv),
+            jnp.asarray(last_cam, jnp.int32), jnp.asarray(last_uv),
+            jnp.asarray(trk_valid), self.K.astype(jnp.float32))
+        M = np.asarray(M)
+        for i in range(2, W):
+            poses[s + i] = M[i]
+        # refined map for the newest frame: depth of each surviving track
+        # in camera s+W-1
+        X = np.asarray(X)
+        ok = np.asarray(ok)
+        Rl, tl = M[W - 1][:3, :3], M[W - 1][:3, 3]
+        z_last = X @ Rl[2] + tl[2]  # (T,)
+        has = kp_at_last >= 0
+        tid = np.where(has, kp_at_last, 0)
+        depth = np.where(has & ok[tid] & (z_last[tid] > 1e-3),
+                         z_last[tid], 0.0).astype(np.float32)
+        return depth
+
+    def _build_window_tracks(self, kps, pair_next, pair_inl, s: int, W: int,
+                             T_budget: int, O_budget: int):
+        """Chain tracks over frames [s, s+W); pad to (T_budget, O_budget)
+        static shapes, keeping the LONGEST tracks when over budget."""
+        Kf = kps[0].shape[0]
+        track_of = np.full((W, Kf), -1, np.int64)
+        n_trk = 0
+        cams, trks, uvs = [], [], []
+        first_cam = np.zeros(Kf * (W - 1), np.int64)
+        first_kp = np.zeros(Kf * (W - 1), np.int64)
+        for f in range(W - 1):
+            nxt = pair_next[s + f]
+            inl = pair_inl[s + f]
+            js = np.nonzero(inl)[0]
+            tids = track_of[f, js]
+            new = tids < 0
+            n_new = int(new.sum())
+            new_ids = np.arange(n_trk, n_trk + n_new)
+            tids = tids.copy()
+            tids[new] = new_ids
+            first_cam[new_ids] = f
+            first_kp[new_ids] = js[new]
+            n_trk += n_new
+            # new tracks contribute their first observation
+            cams.append(np.full(n_new, f))
+            trks.append(new_ids)
+            uvs.append(kps[s + f][js[new]])
+            # all inlier matches contribute the next-frame observation
+            cams.append(np.full(js.shape[0], f + 1))
+            trks.append(tids)
+            uvs.append(kps[s + f + 1][nxt[js]])
+            track_of[f + 1, nxt[js]] = tids
+        if n_trk < 8:
+            return None
+        obs_cam_all = np.concatenate(cams)
+        obs_trk_all = np.concatenate(trks)
+        obs_uv_all = np.concatenate(uvs).astype(np.float32)
+
+        lengths = np.bincount(obs_trk_all, minlength=n_trk)
+        kp_at_last = track_of[W - 1].copy()  # (Kf,) track id per keypoint
+        if n_trk > T_budget or obs_cam_all.shape[0] > O_budget:
+            # keep the longest tracks (multi-view constraints are what BA
+            # is here for); remap ids densely
+            order = np.argsort(-lengths[:n_trk], kind="stable")
+            keep = order[:T_budget]
+            # trim further until the observation budget fits
+            csum = np.cumsum(lengths[keep])
+            n_keep = int(np.searchsorted(csum, O_budget, side="right"))
+            keep = keep[:max(n_keep, 8)]
+            remap = np.full(n_trk, -1, np.int64)
+            remap[keep] = np.arange(keep.shape[0])
+            sel = remap[obs_trk_all] >= 0
+            obs_cam_all = obs_cam_all[sel]
+            obs_trk_all = remap[obs_trk_all[sel]]
+            obs_uv_all = obs_uv_all[sel]
+            first_cam = first_cam[keep]
+            first_kp = first_kp[keep]
+            kp_at_last = np.where(kp_at_last >= 0, remap[kp_at_last], -1)
+            n_trk = keep.shape[0]
+        n_obs = obs_cam_all.shape[0]
+        if n_obs > O_budget or n_trk < 8:
+            return None
+
+        obs_cam = np.zeros(O_budget, np.int64)
+        obs_trk = np.zeros(O_budget, np.int64)
+        obs_uv = np.zeros((O_budget, 2), np.float32)
+        obs_valid = np.zeros(O_budget, bool)
+        obs_cam[:n_obs] = obs_cam_all
+        obs_trk[:n_obs] = obs_trk_all
+        obs_uv[:n_obs] = obs_uv_all
+        obs_valid[:n_obs] = True
+
+        # first/last observation per track (triangulation baselines);
+        # duplicate-index assignment keeps the LAST occurrence and the
+        # observations are appended in frame order
+        fc = np.zeros(T_budget, np.int64)
+        fuv = np.zeros((T_budget, 2), np.float32)
+        lc = np.zeros(T_budget, np.int64)
+        luv = np.zeros((T_budget, 2), np.float32)
+        lc[obs_trk_all] = obs_cam_all
+        luv[obs_trk_all] = obs_uv_all
+        kp_stack = np.stack(kps[s:s + W])  # (W, Kf, 2)
+        fc[:n_trk] = first_cam[:n_trk]
+        fuv[:n_trk] = kp_stack[first_cam[:n_trk], first_kp[:n_trk]]
+        trk_valid = np.zeros(T_budget, bool)
+        trk_valid[:n_trk] = lc[:n_trk] > fc[:n_trk]
+        return (obs_cam, obs_trk, obs_uv, obs_valid, fc, fuv, lc, luv,
+                trk_valid, kp_at_last)
 
     def refine_window(self, frames: List[jax.Array], poses: List[np.ndarray],
                       key: Optional[jax.Array] = None
