@@ -1,27 +1,37 @@
 #!/usr/bin/env python
 """Benchmark harness. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Headline: the reference's own per-op augmentation benchmark regime
-(batch 32, 256x256, GPU — benchmarks/augmentation/README.md:77-86).
-vs_baseline = geometric-mean speedup of our TPU throughput over the
-reference's best published GPU numbers (kornia compiled where available,
-eager otherwise; BASELINE.md).
+Headline: two-view front-end throughput per chip (north-star config 2:
+detect + describe + match + 5-point essential RANSAC + pose) at 480x640
+with 1024 features. vs_baseline = speedup over the reference kornia
+pipeline (SIFTFeature + smnn + essential RANSAC, torch 8-thread CPU on
+this machine — the reference publishes no GPU numbers for this pipeline;
+see BASELINE.md "two-view" section for the measurement).
 
-Timing methodology: through the axon tunnel `block_until_ready` can
-acknowledge at enqueue, so naive per-call timing measures dispatch, not
-device compute — and chained-loop formulations get algebraically
-collapsed by XLA (flip∘flip → identity). Each op is therefore timed by
-BATCH SCALING: fetch-forced wall time at batch 32 and batch 1024 inside
-one executable each; per-batch-32 device time = (T(1024) - T(32)) / 31.
-Minima over reps estimate the RPC floor + device time; the round-trip,
-dispatch, and the 4-byte result fetch cancel in the difference, the 31x
-work multiplier lifts the signal well above tunnel jitter, and nothing
-is algebraically simplifiable.
+Extra fields carried in the same JSON object:
+  twoview_fps_256_512f   same pipeline at 256^2 / 512 features
+  ba_iters_per_s         LM bundle-adjustment iterations/s at 50 cams /
+                         2k points / 10k observations (iteration-scaled)
+  aug_geomean_img_s      the reference's own per-op augmentation regime
+                         (batch 32, 256^2; BASELINE.md)
+  aug_vs_jetson_gpu      geomean speedup vs kornia's published Jetson GPU
+                         numbers (directional only — different hardware)
+  ate                    contents of ATE_RESULTS.json if present (written
+                         by benchmarks/ate_bench.py --save on rendered
+                         exact-GT sequences; see COVERAGE.md)
+
+Timing methodology (CLAUDE.md): through the axon tunnel
+`block_until_ready` can acknowledge at enqueue, so every measurement
+forces a 4-byte fetch and uses BATCH SCALING — marginal time
+(T(B*k) - T(B)) / (k-1) with min-over-reps — so RPC round-trip,
+dispatch, and fetch cancel and nothing is algebraically simplifiable.
+BA uses ITERATION scaling (T(24 iters) - T(4)) / 20 for the same reason.
 """
 
 import json
 import math
+import os
 import time
 
 import jax
@@ -32,79 +42,152 @@ from kornia_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()  # persist TPU executables across runs
 
+# Reference kornia measured on this machine (torch 2.x, 8 CPU threads,
+# min of 3 runs; /tmp-reproducible via BASELINE.md "two-view pipeline"):
+#   256x256 / 512 feats: 1283 ms/pair   480x640 / 1024 feats: 4471 ms/pair
+REF_TWOVIEW_S_PER_PAIR = {"256": 1.283, "480x640": 4.471}
 
-_MULT = 32  # batch multiplier: 32 -> 1024
 
-
-def _timed(fn, img, reps=15):
+def _timed(fn, *args, reps=9):
     f = jax.jit(fn)
-    out = f(img)
+    out = f(*args)
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(leaf.reshape(-1)[0])  # warm + force completion (4 bytes)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        leaf = jax.tree_util.tree_leaves(f(img))[0]
+        leaf = jax.tree_util.tree_leaves(f(*args))[0]
         np.asarray(leaf.reshape(-1)[0])
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
 
-def _bench(fn, img32):
-    """Marginal device time of one batch-32 application."""
-    imgN = jnp.concatenate(
-        [img32 * (1.0 - 0.001 * i) for i in range(_MULT)], 0)
-    t1 = _timed(fn, img32)
-    tN = _timed(fn, imgN)
-    return max((tN - t1) / (_MULT - 1), 1e-7)
+def _bench_batch_scaled(make_args, fn, b_lo, b_hi):
+    """Marginal per-item device time via batch scaling."""
+    t_lo = _timed(fn, *make_args(b_lo))
+    t_hi = _timed(fn, *make_args(b_hi))
+    return max((t_hi - t_lo) / (b_hi - b_lo), 1e-7)
 
 
-def main():
+def bench_twoview(H, W, NF):
+    """Two-view front end, batch-scaled pairs/s."""
+    from kornia_tpu.slam.twoview import _two_view_fn
+    single = _two_view_fn((1, 1, H, W), NF, 1024, 8, 0.95)
+    batched = jax.vmap(single, in_axes=(0, 0, None, 0, None))
+    from kornia_tpu.ops.filters import gaussian_blur2d
+    from kornia_tpu.ops.warp import warp_perspective
+    key = jax.random.PRNGKey(0)
+    base = gaussian_blur2d(jax.random.uniform(key, (1, 1, H, W)), 3, 1.0)
+    M = jnp.eye(3).at[0, 2].set(-4.0)[None]
+    warped = warp_perspective(base, M, (H, W))
+    K = jnp.array([[0.8 * W, 0.0, W / 2], [0.0, 0.8 * W, H / 2],
+                   [0.0, 0.0, 1.0]])
+    th = 1.5 / float(0.8 * W)
+
+    def make_args(B):
+        i0 = jnp.concatenate([base[None] * (1 - 0.001 * i)
+                              for i in range(B)], 0)
+        i1 = jnp.concatenate([warped[None] * (1 - 0.001 * i)
+                              for i in range(B)], 0)
+        keys = jax.random.split(jax.random.PRNGKey(1), B)
+        return i0, i1, K, keys, th
+
+    dt = _bench_batch_scaled(make_args, batched, 1, 8)
+    return 1.0 / dt  # pairs (frames) per second per chip
+
+
+def bench_ba_iters():
+    """LM BA iterations/s at 50 cams / 2k pts / 10k obs."""
+    from kornia_tpu.slam.ba import BAProblem, BAState, bundle_adjust
+    from kornia_tpu.geometry.liegroup import Se3, So3
+    C, P, O = 50, 2000, 10000
+    rng = np.random.default_rng(0)
+    Xw = rng.uniform(-2, 2, (P, 3)).astype(np.float32)
+    Xw[:, 2] += 6.0
+    angles = rng.normal(0, 0.05, (C, 3)).astype(np.float32)
+    ts = np.stack([np.linspace(0, 2, C), np.zeros(C), np.zeros(C)],
+                  1).astype(np.float32)
+    K = jnp.array([[300.0, 0, 320], [0, 300.0, 240], [0, 0, 1.0]])
+    cam_idx = rng.integers(0, C, O).astype(np.int32)
+    pt_idx = rng.integers(0, P, O).astype(np.int32)
+    poses = Se3(So3.exp(jnp.asarray(angles)), jnp.asarray(ts))
+    Rm = np.asarray(poses.r.matrix())
+    Xc = np.einsum("oij,oj->oi", Rm[cam_idx], Xw[pt_idx]) + ts[cam_idx]
+    uv = (Xc[:, :2] / Xc[:, 2:]) * 300.0 + np.array([320.0, 240.0])
+    uv += rng.normal(0, 0.5, uv.shape)
+    problem = BAProblem(jnp.asarray(cam_idx), jnp.asarray(pt_idx),
+                        jnp.asarray(uv.astype(np.float32)),
+                        jnp.ones(O, bool), K)
+    state = BAState(poses, jnp.asarray(Xw + rng.normal(0, 0.05, Xw.shape)
+                                       .astype(np.float32)))
+
+    def run(iters):
+        return _timed(
+            lambda s: bundle_adjust(s, problem, C, P, num_iters=iters)[0]
+            .points, state)
+
+    t_lo, t_hi = run(4), run(24)
+    it_s = 20.0 / max(t_hi - t_lo, 1e-7)
+    return it_s
+
+
+def bench_aug():
     from kornia_tpu.ops import (adjust_brightness, gaussian_blur2d,
                                 grayscale_to_rgb, hflip, resize,
                                 rgb_to_grayscale, vflip)
-
     B, C, H, W = 32, 3, 256, 256
-    key = jax.random.PRNGKey(0)
-    img = jax.random.uniform(key, (B, C, H, W), dtype=jnp.float32)
-
-    # reference numbers: kornia on Jetson Orin GPU, batch 32 256x256
-    # (BASELINE.md; compiled column where it exists, else eager).
-    # Shape-changing ops chain with a fixup (resize back / channel
-    # broadcast) so the loop composes — measured time therefore includes
-    # the fixup, i.e. reported throughput is conservative.
+    img = jax.random.uniform(jax.random.PRNGKey(0), (B, C, H, W))
     ops = {
         "HorizontalFlip": (hflip, 11458.0),
         "VerticalFlip": (vflip, 10599.0),
         "Resize_half": (lambda x: resize(resize(x, (128, 128),
                                                 antialias=True), (256, 256)),
-                        None),  # reference kornia entry is ✗ on GPU
+                        None),
         "GaussianBlur": (lambda x: gaussian_blur2d(x, 3, 0.8), 1042.0),
         "Brightness": (lambda x: adjust_brightness(x, 0.1), 12284.0),
         "Grayscale": (lambda x: grayscale_to_rgb(rgb_to_grayscale(x)),
                       24777.0),
     }
-
-    speedups = []
-    throughputs = {}
+    MULT = 32
+    speedups, tps = [], []
     for name, (fn, ref) in ops.items():
-        dt = _bench(fn, img)
-        imgs_per_s = B / dt
-        throughputs[name] = imgs_per_s
+        imgN = jnp.concatenate([img * (1 - 0.001 * i) for i in range(MULT)],
+                               0)
+        t1 = _timed(fn, img)
+        tN = _timed(fn, imgN)
+        dt = max((tN - t1) / (MULT - 1), 1e-7)
+        tp = B / dt
+        tps.append(tp)
         if ref:
-            speedups.append(imgs_per_s / ref)
+            speedups.append(tp / ref)
+    geo = lambda xs: math.exp(sum(math.log(x) for x in xs) / len(xs))
+    return geo(tps), geo(speedups)
 
-    geomean_tp = math.exp(sum(math.log(v) for v in throughputs.values())
-                          / len(throughputs))
-    geomean_speedup = math.exp(sum(math.log(s) for s in speedups)
-                               / len(speedups))
 
-    print(json.dumps({
-        "metric": "aug_per_op_geomean_throughput_b32_256",
-        "value": round(geomean_tp, 1),
-        "unit": "img/s",
-        "vs_baseline": round(geomean_speedup, 2),
-    }))
+def main():
+    fps_640 = bench_twoview(480, 640, 1024)
+    fps_256 = bench_twoview(256, 256, 512)
+    ba_it_s = bench_ba_iters()
+    aug_tp, aug_speed = bench_aug()
+
+    out = {
+        "metric": "twoview_fps_per_chip_480x640_1024f",
+        "value": round(fps_640, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_640 * REF_TWOVIEW_S_PER_PAIR["480x640"], 2),
+        "twoview_fps_256_512f": round(fps_256, 2),
+        "twoview_vs_ref_256": round(fps_256 * REF_TWOVIEW_S_PER_PAIR["256"],
+                                    2),
+        "ba_iters_per_s_c50_p2k_o10k": round(ba_it_s, 1),
+        "aug_geomean_img_s_b32_256": round(aug_tp, 1),
+        "aug_vs_jetson_gpu": round(aug_speed, 2),
+    }
+    ate_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "ATE_RESULTS.json")
+    if os.path.exists(ate_path):
+        with open(ate_path) as f:
+            out["ate"] = json.load(f)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -89,6 +89,9 @@ def main():
     ap.add_argument("--features", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--save", action="store_true",
+                    help="write repo-root ATE_RESULTS.json (picked up by "
+                         "bench.py as headline metadata)")
     args = ap.parse_args()
 
     import jax
@@ -166,6 +169,33 @@ def main():
     for name, L, a_ch, a_rf, a_ref, *_ in rows:
         print(f"{name}: chained {100*a_ch/L:.2f}%  refined {100*a_rf/L:.2f}%"
               f"  reference {100*a_ref/L:.2f}%  (of trajectory length)")
+
+    if args.save:
+        import json
+        payload = {
+            "config": {"frames": args.frames, "size": [H, W],
+                       "features": args.features,
+                       "device": jax.devices()[0].platform,
+                       "note": "rendered exact-GT sequences "
+                               "(utils/render.py); ATE RMSE after Sim3 "
+                               "alignment; reference = kornia 5-pt RANSAC "
+                               "chained with GT step scales on identical "
+                               "matches"},
+            "sequences": {
+                name: {"length": round(L, 3),
+                       "ours_chained": round(a_ch, 4),
+                       "ours_refined": round(a_rf, 4),
+                       "reference": (None if a_ref != a_ref
+                                     else round(a_ref, 4)),
+                       "ours_refined_pct": round(100 * a_rf / L, 2),
+                       "reference_pct": (None if a_ref != a_ref
+                                         else round(100 * a_ref / L, 2))}
+                for name, L, a_ch, a_rf, a_ref, *_ in rows},
+        }
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "ATE_RESULTS.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+        print("saved ATE_RESULTS.json")
 
 
 if __name__ == "__main__":

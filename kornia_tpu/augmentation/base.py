@@ -161,6 +161,56 @@ class GeometricAugmentationBase2D(AugmentationBase2D):
         H, W = x.shape[-2:]
         return warp_perspective(x, inverse_3x3(M), (H, W), align_corners=True)
 
+    # -- container extension points (reference: base.py:403-502) ----------
+    def _gated_matrix(self, params: Dict[str, jax.Array],
+                      in_hw: Tuple[int, int]) -> jax.Array:
+        B = params["apply_mask"].shape[0]
+        M = self.matrix(params, (B, 1, *in_hw))
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=M.dtype), M.shape)
+        return jnp.where(params["apply_mask"].reshape(-1, 1, 1), M, eye)
+
+    def apply_to_mask(self, m: jax.Array, params: Dict[str, jax.Array],
+                      in_hw: Tuple[int, int]) -> jax.Array:
+        """Reference transform_masks (base.py:403): the op's OWN apply with
+        nearest resampling — covers matrix warps AND deformation fields
+        (elastic/TPS), which a composed 3x3 cannot express."""
+        old = dict(self.flags)
+        self.flags = {**self.flags, "resample": "nearest"}
+        try:
+            out = self.apply(m, params)
+        finally:
+            self.flags = old
+        if out.shape == m.shape:
+            return apply_batch_mask(out, m, params["apply_mask"])
+        return out  # size-changing ops apply unconditionally (p=1)
+
+    def transform_coords(self, pts: jax.Array, params: Dict[str, jax.Array],
+                         in_hw: Tuple[int, int]) -> jax.Array:
+        from ..geometry.linalg import transform_points
+        M = self._gated_matrix(params, in_hw)
+        B = pts.shape[0]
+        flat = pts.reshape(B, -1, 2)
+        return transform_points(M, flat).reshape(pts.shape)
+
+    def inverse_coords(self, pts: jax.Array, params: Dict[str, jax.Array],
+                       in_hw: Tuple[int, int]) -> jax.Array:
+        from ..core.linalg import inverse_3x3
+        from ..geometry.linalg import transform_points
+        M = inverse_3x3(self._gated_matrix(params, in_hw))
+        B = pts.shape[0]
+        flat = pts.reshape(B, -1, 2)
+        return transform_points(M, flat).reshape(pts.shape)
+
+    def inverse_image(self, x: jax.Array, params: Dict[str, jax.Array],
+                      in_hw: Tuple[int, int], mode: str = "bilinear"
+                      ) -> jax.Array:
+        """Per-op inverse replay to the op's INPUT frame (handles
+        size-changing crops: dsize = in_hw)."""
+        from ..core.linalg import inverse_3x3
+        from ..ops.warp import warp_perspective
+        M = inverse_3x3(self._gated_matrix(params, in_hw))
+        return warp_perspective(x, M, in_hw, mode=mode, align_corners=True)
+
 
 class RigidAffineAugmentationBase2D(GeometricAugmentationBase2D):
     """Ops whose transform is a rigid/affine 3x3 (reference:

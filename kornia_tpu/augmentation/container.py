@@ -57,12 +57,20 @@ class ImageSequential:
 
 
 class AugmentationSequential(ImageSequential):
-    """Multi-datakey pipeline with matrix bookkeeping and inverse
-    (reference: container/augment.py:431 forward, :303 inverse).
+    """Multi-datakey pipeline with PER-OP replay and exact inverse
+    (reference: container/augment.py:431 forward, :303 inverse,
+    container/ops.py per-DataKey dispatch).
 
     call: ``aug(image, mask, bbox, keypoints, data_keys=[...], key=key)``
-    Boxes are (B, N, 4) xyxy or (B, N, 4, 2) corner quads; keypoints are
-    (B, N, 2).
+    Boxes are (B, N, 4) xyxy, (B, N, 4, 2) corner quads, or
+    `kornia_tpu.geometry.boxes.Boxes`; keypoints are (B, N, 2) or
+    `Keypoints`. Container inputs come back as the same container type.
+
+    Unlike a single composed 3x3 (round-1 design), every datakey replays
+    the ops ONE BY ONE: size-changing crops re-frame subsequent ops,
+    masks pick up non-affine warps (elastic/TPS) from the op's own apply,
+    and the inverse walks the recorded params in reverse — matching the
+    reference's semantics (container/augment.py:303 inverse loop).
     """
 
     def __init__(self, *augs: AugmentationBase2D,
@@ -71,14 +79,24 @@ class AugmentationSequential(ImageSequential):
         super().__init__(*augs)
         self.data_keys = list(data_keys)
         self._params: Optional[List[Dict]] = None
+        self._in_hw: Optional[Tuple[int, int]] = None
 
-    # -- matrix composition --------------------------------------------------
+    # -- size bookkeeping ---------------------------------------------------
+    def size_chain(self, in_hw: Tuple[int, int]) -> List[Tuple[int, int]]:
+        """Static (H, W) before each op (+ final): len == n_ops + 1."""
+        sizes = [tuple(in_hw)]
+        for aug in self.augs:
+            sizes.append(tuple(aug.out_size(sizes[-1])))
+        return sizes
+
+    # -- matrix composition (legacy helper; affine ops only) ----------------
     def transform_matrix(self, shape, params: List[Dict]) -> jax.Array:
         B = shape[0]
         M = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
-        for aug, p in zip(self.augs, params):
+        sizes = self.size_chain(shape[-2:])
+        for aug, p, hw in zip(self.augs, params, sizes):
             if isinstance(aug, GeometricAugmentationBase2D):
-                M = aug.transform_matrix(jnp.zeros(shape), p) @ M
+                M = aug._gated_matrix(p, hw) @ M
         return M
 
     # -- per-datakey application --------------------------------------------
@@ -87,61 +105,79 @@ class AugmentationSequential(ImageSequential):
             x = aug(x, params=p)
         return x
 
-    def _apply_mask(self, m, params, shape):
-        # geometric-only, nearest interpolation semantics via same matrices
-        from ..ops.warp import warp_perspective
-        for aug, p in zip(self.augs, params):
-            if isinstance(aug, GeometricAugmentationBase2D):
-                M = aug.transform_matrix(m, p)
-                H, W = m.shape[-2:]
-                m = warp_perspective(m, M, (H, W), mode="nearest",
-                                     align_corners=True)
+    def _apply_mask(self, m, params, in_hw):
+        sizes = self.size_chain(in_hw)
+        for aug, p, hw in zip(self.augs, params, sizes):
+            m = aug.apply_to_mask(m, p, hw)
         return m
 
-    def _apply_keypoints(self, kp, params, shape):
-        M = self.transform_matrix(shape, params)
-        return transform_points(M, kp)
+    def _apply_coords(self, pts, params, in_hw):
+        sizes = self.size_chain(in_hw)
+        for aug, p, hw in zip(self.augs, params, sizes):
+            pts = aug.transform_coords(pts, p, hw)
+        return pts
 
-    def _apply_bbox(self, bbox, params, shape):
-        M = self.transform_matrix(shape, params)
+    def _inverse_coords(self, pts, params, in_hw):
+        sizes = self.size_chain(in_hw)
+        for aug, p, hw in zip(reversed(self.augs), reversed(params),
+                              reversed(sizes[:-1])):
+            pts = aug.inverse_coords(pts, p, hw)
+        return pts
+
+    def _apply_bbox(self, bbox, params, in_hw):
+        """xyxy boxes travel as corner quads through every op and are
+        re-axis-aligned at the END (reference: container/ops.py:273 —
+        per-op transforms on the quad, one final hull)."""
         if bbox.shape[-1] == 4 and bbox.ndim == 3:  # xyxy → corners
-            x0, y0, x1, y1 = (bbox[..., 0], bbox[..., 1], bbox[..., 2],
-                              bbox[..., 3])
-            corners = jnp.stack(
-                [jnp.stack([x0, y0], -1), jnp.stack([x1, y0], -1),
-                 jnp.stack([x1, y1], -1), jnp.stack([x0, y1], -1)], axis=-2)
-            warped = transform_points(M[:, None], corners)
-            x0n = warped[..., 0].min(-1)
-            y0n = warped[..., 1].min(-1)
-            x1n = warped[..., 0].max(-1)
-            y1n = warped[..., 1].max(-1)
-            return jnp.stack([x0n, y0n, x1n, y1n], -1)
-        return transform_points(M[:, None], bbox)
+            corners = _xyxy_to_corners(bbox)
+            out = self._apply_coords(corners, params, in_hw)
+            return _corners_to_xyxy(out)
+        return self._apply_coords(bbox, params, in_hw)
+
+    def _inverse_bbox(self, bbox, params, in_hw):
+        if bbox.shape[-1] == 4 and bbox.ndim == 3:
+            corners = _xyxy_to_corners(bbox)
+            out = self._inverse_coords(corners, params, in_hw)
+            return _corners_to_xyxy(out)
+        return self._inverse_coords(bbox, params, in_hw)
 
     def __call__(self, *inputs, data_keys: Optional[Sequence[str]] = None,
                  key: Optional[jax.Array] = None,
                  params: Optional[List[Dict]] = None):
+        from ..geometry.boxes import Boxes, Keypoints
         keys_ = list(data_keys) if data_keys is not None else self.data_keys
         assert len(inputs) == len(keys_), \
             f"got {len(inputs)} inputs for data_keys {keys_}"
         img_idx = keys_.index("input")
         image = as_float(inputs[img_idx])
+        in_hw = image.shape[-2:]
         if params is None:
             if key is None:
                 key = jax.random.PRNGKey(0)
             params = self.generate_parameters(key, image.shape)
         self._params = params
+        self._in_hw = tuple(in_hw)
         outs = []
         for inp, k in zip(inputs, keys_):
             if k == "input":
                 outs.append(self._apply_image(as_float(inp), params))
             elif k == "mask":
-                outs.append(self._apply_mask(as_float(inp), params, image.shape))
+                outs.append(self._apply_mask(as_float(inp), params, in_hw))
             elif k in ("bbox", "bbox_xyxy"):
-                outs.append(self._apply_bbox(as_float(inp), params, image.shape))
+                if isinstance(inp, Boxes):
+                    quad = _xyxy_to_corners(inp.to_tensor("xyxy"))
+                    out = self._apply_coords(quad, params, in_hw)
+                    outs.append(Boxes(_corners_to_xyxy(out), inp.valid))
+                else:
+                    outs.append(self._apply_bbox(as_float(inp), params,
+                                                 in_hw))
             elif k == "keypoints":
-                outs.append(self._apply_keypoints(as_float(inp), params,
-                                                  image.shape))
+                if isinstance(inp, Keypoints):
+                    out = self._apply_coords(inp.data, params, in_hw)
+                    outs.append(Keypoints(out, inp.valid))
+                else:
+                    outs.append(self._apply_coords(as_float(inp), params,
+                                                   in_hw))
             elif k == "class":
                 outs.append(inp)
             else:
@@ -150,41 +186,60 @@ class AugmentationSequential(ImageSequential):
 
     # -- inverse -------------------------------------------------------------
     def inverse(self, *inputs, data_keys: Optional[Sequence[str]] = None,
-                params: Optional[List[Dict]] = None):
-        """Invert the geometric part using recorded params
-        (reference: augment.py:303)."""
+                params: Optional[List[Dict]] = None,
+                in_hw: Optional[Tuple[int, int]] = None):
+        """Replay recorded params in REVERSE, op by op (reference:
+        augment.py:303): each geometric op un-warps to its own input
+        frame, so size-changing crops and per-op interpolation invert
+        exactly (a composed global matrix cannot)."""
+        from ..geometry.boxes import Boxes, Keypoints
         keys_ = list(data_keys) if data_keys is not None else self.data_keys
         params = params if params is not None else self._params
         assert params is not None, "call forward first or pass params"
-        img_idx = keys_.index("input") if "input" in keys_ else 0
-        shape = inputs[img_idx].shape
-        M = self.transform_matrix(shape, params)
-        M_inv = inverse_3x3(M)
+        in_hw = tuple(in_hw) if in_hw is not None else self._in_hw
+        assert in_hw is not None, "pass in_hw= (original H, W)"
+        sizes = self.size_chain(in_hw)
         outs = []
-        from ..ops.warp import warp_perspective
         for inp, k in zip(inputs, keys_):
-            inp = as_float(inp)
             if k in ("input", "mask"):
-                H, W = inp.shape[-2:]
+                x = as_float(inp)
                 mode = "nearest" if k == "mask" else "bilinear"
-                outs.append(warp_perspective(inp, M_inv, (H, W), mode=mode,
-                                             align_corners=True))
+                for aug, p, hw in zip(reversed(self.augs), reversed(params),
+                                      reversed(sizes[:-1])):
+                    x = aug.inverse_image(x, p, hw, mode=mode)
+                outs.append(x)
             elif k == "keypoints":
-                outs.append(transform_points(M_inv, inp))
+                if isinstance(inp, Keypoints):
+                    out = self._inverse_coords(inp.data, params, in_hw)
+                    outs.append(Keypoints(out, inp.valid))
+                else:
+                    outs.append(self._inverse_coords(as_float(inp), params,
+                                                     in_hw))
             elif k in ("bbox", "bbox_xyxy"):
-                x0, y0, x1, y1 = (inp[..., 0], inp[..., 1], inp[..., 2],
-                                  inp[..., 3])
-                corners = jnp.stack(
-                    [jnp.stack([x0, y0], -1), jnp.stack([x1, y0], -1),
-                     jnp.stack([x1, y1], -1), jnp.stack([x0, y1], -1)],
-                    axis=-2)
-                warped = transform_points(M_inv[:, None], corners)
-                outs.append(jnp.stack(
-                    [warped[..., 0].min(-1), warped[..., 1].min(-1),
-                     warped[..., 0].max(-1), warped[..., 1].max(-1)], -1))
+                if isinstance(inp, Boxes):
+                    quad = _xyxy_to_corners(inp.to_tensor("xyxy"))
+                    out = self._inverse_coords(quad, params, in_hw)
+                    outs.append(Boxes(_corners_to_xyxy(out), inp.valid))
+                else:
+                    outs.append(self._inverse_bbox(as_float(inp), params,
+                                                   in_hw))
             else:
                 outs.append(inp)
         return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+def _xyxy_to_corners(bbox: jax.Array) -> jax.Array:
+    x0, y0, x1, y1 = (bbox[..., 0], bbox[..., 1], bbox[..., 2],
+                      bbox[..., 3])
+    return jnp.stack(
+        [jnp.stack([x0, y0], -1), jnp.stack([x1, y0], -1),
+         jnp.stack([x1, y1], -1), jnp.stack([x0, y1], -1)], axis=-2)
+
+
+def _corners_to_xyxy(corners: jax.Array) -> jax.Array:
+    return jnp.stack(
+        [corners[..., 0].min(-1), corners[..., 1].min(-1),
+         corners[..., 0].max(-1), corners[..., 1].max(-1)], -1)
 
 
 class ManyToManyAugmentationDispather:

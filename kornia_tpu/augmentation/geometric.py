@@ -63,6 +63,18 @@ class Resize(GeometricAugmentationBase2D):
         return resize(as_float(x), self.size, self.interpolation,
                       antialias=self.antialias)
 
+    def out_size(self, in_hw):
+        return (int(self.size[0]), int(self.size[1]))
+
+    def matrix(self, params, shape):
+        H, W = shape[-2:]
+        h, w = self.out_size((H, W))
+        B = params["apply_mask"].shape[0]
+        sx = (w - 1.0) / max(W - 1, 1)
+        sy = (h - 1.0) / max(H - 1, 1)
+        M = jnp.array([[sx, 0.0, 0.0], [0.0, sy, 0.0], [0.0, 0.0, 1.0]])
+        return jnp.broadcast_to(M, (B, 3, 3))
+
 
 class LongestMaxSize(GeometricAugmentationBase2D):
     """Resize so the longest side equals max_size
@@ -77,6 +89,20 @@ class LongestMaxSize(GeometricAugmentationBase2D):
         from ..ops.warp import resize
         return resize(as_float(x), self.max_size, side="long")
 
+    def out_size(self, in_hw):
+        H, W = in_hw
+        s = self.max_size / max(H, W)
+        return (int(round(H * s)), int(round(W * s)))
+
+    def matrix(self, params, shape):
+        H, W = shape[-2:]
+        h, w = self.out_size((H, W))
+        B = params["apply_mask"].shape[0]
+        M = jnp.array([[(w - 1.0) / max(W - 1, 1), 0.0, 0.0],
+                       [0.0, (h - 1.0) / max(H - 1, 1), 0.0],
+                       [0.0, 0.0, 1.0]])
+        return jnp.broadcast_to(M, (B, 3, 3))
+
 
 class SmallestMaxSize(GeometricAugmentationBase2D):
     """Resize so the shortest side equals max_size
@@ -90,6 +116,20 @@ class SmallestMaxSize(GeometricAugmentationBase2D):
         from ..core.dtype import as_float
         from ..ops.warp import resize
         return resize(as_float(x), self.max_size, side="short")
+
+    def out_size(self, in_hw):
+        H, W = in_hw
+        s = self.max_size / min(H, W)
+        return (int(round(H * s)), int(round(W * s)))
+
+    def matrix(self, params, shape):
+        H, W = shape[-2:]
+        h, w = self.out_size((H, W))
+        B = params["apply_mask"].shape[0]
+        M = jnp.array([[(w - 1.0) / max(W - 1, 1), 0.0, 0.0],
+                       [0.0, (h - 1.0) / max(H - 1, 1), 0.0],
+                       [0.0, 0.0, 1.0]])
+        return jnp.broadcast_to(M, (B, 3, 3))
 
 
 class RandomHorizontalFlip(GeometricAugmentationBase2D):
@@ -279,6 +319,9 @@ class RandomCrop(GeometricAugmentationBase2D):
         x0 = self._uniform(k2, batch, 0.0, max(W - w, 0) + 1e-6)
         return {"y0": jnp.floor(y0), "x0": jnp.floor(x0)}
 
+    def out_size(self, in_hw):
+        return (int(self.size[0]), int(self.size[1]))
+
     def matrix(self, params, shape):
         B = params["y0"].shape[0]
         t = jnp.stack([-params["x0"], -params["y0"]], -1)
@@ -324,6 +367,9 @@ class RandomResizedCrop(GeometricAugmentationBase2D):
         x0 = self._uniform(ks[3], batch, 0.0, 1.0) * (W - w)
         return {"y0": y0, "x0": x0, "h": h, "w": w}
 
+    def out_size(self, in_hw):
+        return (int(self.size[0]), int(self.size[1]))
+
     def matrix(self, params, shape):
         """Maps crop box → output rect."""
         h_out, w_out = self.size
@@ -361,6 +407,19 @@ class CenterCrop(GeometricAugmentationBase2D):
     def __call__(self, x, key=None, params=None):
         from ..ops.warp import center_crop
         return center_crop(as_float(x), self.size)
+
+    def out_size(self, in_hw):
+        return (int(self.size[0]), int(self.size[1]))
+
+    def matrix(self, params, shape):
+        H, W = shape[-2:]
+        h, w = self.size
+        B = params["apply_mask"].shape[0]
+        x0 = jnp.floor(jnp.asarray((W - w) / 2.0))
+        y0 = jnp.floor(jnp.asarray((H - h) / 2.0))
+        M = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                       [0.0, 0.0, 1.0]]).at[0, 2].set(-x0).at[1, 2].set(-y0)
+        return jnp.broadcast_to(M, (B, 3, 3))
 
 
 class RandomElasticTransform(GeometricAugmentationBase2D):
@@ -446,6 +505,9 @@ class PadTo(GeometricAugmentationBase2D):
         self.pad_mode = pad_mode
         self.pad_value = float(pad_value)
         self._in_hw: Optional[Tuple[int, int]] = None
+
+    def out_size(self, in_hw):
+        return (max(self.size[0], in_hw[0]), max(self.size[1], in_hw[1]))
 
     def __call__(self, x, key=None, params=None):
         from ..core.dtype import as_float

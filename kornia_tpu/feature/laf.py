@@ -259,9 +259,11 @@ def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
     """Scale-aware patch extraction: each LAF samples from the pyramid
     level matching its scale (reference: laf.py:451).
 
-    TPU formulation: build the static pyramid, sample the SAME grid from
-    every level, then gather per-keypoint by its (static-shape) level
-    index — no data-dependent control flow."""
+    TPU formulation: pack every pyramid level into ONE vertically-stacked
+    atlas image and run a single bilinear gather pass — per-keypoint level
+    selection becomes elementwise math on (L,)-table lookups instead of
+    one full gather per level (the gather is this stage's entire cost on
+    TPU; one pass instead of L)."""
     img = as_float(img)
     B, N = laf.shape[:2]
     C, H, W = img.shape[1:]
@@ -279,22 +281,55 @@ def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
         if min(nxt.shape[-2:]) < PS:
             break
         levels.append(nxt)
+    L = len(levels)
     lvl = jnp.floor(jnp.log2(jnp.maximum(2.0 * scale / PS, 1e-6)))
     lvl = jnp.clip(lvl, 0, max(0, max_level - 1)).astype(jnp.int32)  # (B, N)
-    # per-level extraction + where-select: a stacked take_along_axis over
-    # (Lv, B, N, C, PS, PS) lowers to a catastrophic scalar gather on TPU
-    # (~100x slower and minutes of compile); elementwise selects are free
-    out = jnp.zeros((B, N, C, PS, PS), img.dtype)
+    in_range = lvl <= (L - 1)
+    lvl_c = jnp.minimum(lvl, L - 1)
+
+    # --- atlas: levels stacked along y ---------------------------------
+    hs = [lv.shape[-2] for lv in levels]
+    ws = [lv.shape[-1] for lv in levels]
+    offs = [0]
+    for h_ in hs[:-1]:
+        offs.append(offs[-1] + h_)
+    Htot = sum(hs)
+    atlas = jnp.zeros((B, C, Htot, W), img.dtype)
     for li, limg in enumerate(levels):
-        h_l, w_l = limg.shape[-2:]
-        # normalize wrt the full image, denormalize wrt the level — the
-        # linear part scales by min-size ratio, the centre per-axis
-        sc_a = min(h_l, w_l) / min(H, W)
-        laf_l = jnp.concatenate(
-            [laf[..., :2, :2] * sc_a,
-             laf[..., :2, 2:] * jnp.asarray([w_l / W, h_l / H],
-                                            laf.dtype)[:, None]], axis=-1)
-        patches = extract_patches_simple(limg, laf_l, PS)
-        m = (lvl == li)[..., None, None, None]
-        out = jnp.where(m, patches, out)
-    return out
+        atlas = atlas.at[:, :, offs[li]:offs[li] + hs[li], : ws[li]].set(limg)
+
+    h_t = jnp.asarray(hs, laf.dtype)
+    w_t = jnp.asarray(ws, laf.dtype)
+    off_t = jnp.asarray(offs, laf.dtype)
+    sc_t = jnp.minimum(h_t, w_t) / min(H, W)
+
+    # patch grid in level pixel units (the reference's mixed convention:
+    # affine_grid(align_corners=False) spacing, renormalized align-corners
+    # -TRUE, sampled align_corners=False — reproduced per level below)
+    t = jnp.linspace(-1.0, 1.0, PS, dtype=laf.dtype) * ((PS - 1) / PS)
+    gy, gx = jnp.meshgrid(t, t, indexing="ij")
+    grid3 = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (PS, PS, 3)
+    sc = sc_t[lvl_c]  # (B, N)
+    A = laf[..., :2, :2] * sc[..., None, None]
+    ctr = laf[..., :2, 2] * jnp.stack(
+        [w_t[lvl_c] / W, h_t[lvl_c] / H], axis=-1)  # (B, N, 2)
+    laf_l = jnp.concatenate([A, ctr[..., None]], axis=-1)
+    pix = jnp.einsum("bnij,pqj->bnpqi", laf_l, grid3)  # (B, N, PS, PS, 2)
+
+    wl = w_t[lvl_c][..., None, None]
+    hl = h_t[lvl_c][..., None, None]
+    # align-corners-TRUE renormalize + align-corners-FALSE sample ==
+    # effective source pixel p*size/(size-1) - 0.5, then 'border' clamp
+    # INSIDE the level rect (so patches never bleed across atlas rows)
+    px = pix[..., 0] * wl / jnp.maximum(wl - 1.0, 1.0) - 0.5
+    py = pix[..., 1] * hl / jnp.maximum(hl - 1.0, 1.0) - 0.5
+    px = jnp.clip(px, 0.0, wl - 1.0)
+    py = jnp.clip(py, 0.0, hl - 1.0) + off_t[lvl_c][..., None, None]
+
+    nx = 2.0 * px / max(W - 1, 1) - 1.0
+    ny = 2.0 * py / max(Htot - 1, 1) - 1.0
+    grid = jnp.stack([nx, ny], axis=-1).reshape(B, N * PS, PS, 2)
+    from ..ops.warp import grid_sample
+    out = grid_sample(atlas, grid, "bilinear", "border", True)
+    out = out.reshape(B, C, N, PS, PS).transpose(0, 2, 1, 3, 4)
+    return jnp.where(in_range[:, :, None, None, None], out, 0.0)
