@@ -14,8 +14,11 @@ TPU-first redesign (NOT a port):
   coverage reweighting (a conv, exactly as the reference computes it).
 - Keypoint descriptors are one batched bilinear `grid_sample` of the dense
   descriptor map — no host round trip.
-The DINOv2-backed `G` descriptor needs externally trained ViT weights
-(no egress) and is out of scope; the conv `B` descriptor is implemented.
+Both descriptor variants ship: the conv `B` head and the DINOv2-backed
+`G` head (frozen ViT-L/14 tokens at stride 14 + the reference's
+five-scale refiner walk, dedode_models.py:131 dedode_descriptor_G);
+the DINOv2 flax backbone + torch-state-dict converter live in
+feature/dinov2.py (weights drop in when an artifact is available).
 """
 
 from __future__ import annotations
@@ -30,7 +33,8 @@ from ..core.check import check
 from ..core.dtype import as_float
 from ..ops.warp import grid_sample
 
-__all__ = ["DeDoDe", "DeDoDeDetector", "DeDoDeDescriptor", "sample_keypoints"]
+__all__ = ["DeDoDe", "DeDoDeDetector", "DeDoDeDescriptor",
+           "DeDoDeDescriptorG", "sample_keypoints"]
 
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -121,6 +125,86 @@ class DeDoDeDescriptor(nn.Module):
         return _Decoder(out_logits=self.desc_dim)(_VGGEncoder()(x))
 
 
+class _RefBlockG(nn.Module):
+    """create_block of the reference ConvRefiner (decoder.py:113): grouped
+    kxk conv -> BatchNorm (inference stats) -> relu -> 1x1 conv."""
+    out_dim: int
+    dw: bool = True
+    kernel: int = 5
+
+    @nn.compact
+    def __call__(self, x):
+        groups = x.shape[-1] if self.dw else 1
+        x = nn.Conv(self.out_dim, (self.kernel, self.kernel),
+                    feature_group_count=groups, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.out_dim, (1, 1), name="conv2")(x)
+
+
+class _ConvRefinerG(nn.Module):
+    """Reference ConvRefiner (decoder.py:64): block1 (1x1, no dw), five
+    depthwise k5 hidden blocks, single residual (x + x0)/1.4, 1x1 out."""
+    hidden: int
+    out_logits: int
+    out_context: int
+    hidden_blocks: int = 5
+
+    @nn.compact
+    def __call__(self, x):
+        x0 = _RefBlockG(self.hidden, dw=False, kernel=1, name="block1")(x)
+        x = x0
+        for i in range(self.hidden_blocks):
+            x = _RefBlockG(self.hidden, dw=True, kernel=5,
+                           name=f"hidden{i}")(x)
+        x = (x + x0) / 1.4
+        out = nn.Conv(self.out_logits + self.out_context, (1, 1),
+                      name="out_conv")(x)
+        return out[..., :self.out_logits], out[..., self.out_logits:]
+
+
+class DeDoDeDescriptorG(nn.Module):
+    """G descriptor head (dedode_models.py:131 dedode_descriptor_G):
+    frozen DINOv2 ViT-L/14 patch tokens enter at scale 14, then the
+    reference's refiner walk over scales 14/8/4/2/1 accumulates 256-d
+    descriptor logits, bilinearly upsampled between scales
+    (descriptor.py:57 forward)."""
+    desc_dim: int = 256
+    vit_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from .dinov2 import VIT_LARGE_CFG, DinoV2ViT
+        cfg = dict(self.vit_cfg or VIT_LARGE_CFG)
+        vit = DinoV2ViT(**cfg, name="dinov2")
+        tokens = vit(x)  # (B, H/14, W/14, D_vit)
+        tokens = jax.lax.stop_gradient(tokens)  # frozen backbone
+        feats = _VGGEncoder(name="vgg")(x)  # strides 1, 2, 4, 8
+        B, H, W, _ = x.shape
+        # (feature, hidden, ctx_out) per scale, reference channel counts
+        walk = [
+            (tokens, 768, 512, "r14"),
+            (feats[3], 512, 256, "r8"),
+            (feats[2], 256, 128, "r4"),
+            (feats[1], 64, 32, "r2"),
+            (feats[0], 32, 1, "r1"),
+        ]
+        desc = None
+        ctx = None
+        for i, (feat, hidden, ctx_out, nm) in enumerate(walk):
+            inp = feat if ctx is None else jnp.concatenate([feat, ctx], -1)
+            logits, ctx = _ConvRefinerG(hidden, self.desc_dim, ctx_out,
+                                        name=nm)(inp)
+            desc = logits if desc is None else desc + logits
+            if i < len(walk) - 1:
+                th, tw = walk[i + 1][0].shape[1:3]
+                up = lambda t: jax.image.resize(
+                    t, (B, th, tw, t.shape[-1]), "bilinear")
+                desc = up(desc)
+                ctx = up(ctx)
+        return desc  # (B, H, W, desc_dim)
+
+
 def sample_keypoints(scoremap: jax.Array, num_samples: int = 2048,
                      increase_coverage: bool = True
                      ) -> Tuple[jax.Array, jax.Array]:
@@ -156,11 +240,18 @@ class DeDoDe:
     decoupled detector/descriptor design."""
 
     def __init__(self, desc_dim: int = 256, num_keypoints: int = 2048,
+                 descriptor: str = "B",
                  params_det: Optional[dict] = None,
                  params_desc: Optional[dict] = None,
-                 key: Optional[jax.Array] = None):
+                 key: Optional[jax.Array] = None,
+                 vit_cfg: Optional[dict] = None):
         self.detector = DeDoDeDetector()
-        self.descriptor = DeDoDeDescriptor(desc_dim=desc_dim)
+        self.descriptor_type = descriptor
+        if descriptor == "G":
+            self.descriptor = DeDoDeDescriptorG(desc_dim=desc_dim,
+                                                vit_cfg=vit_cfg)
+        else:
+            self.descriptor = DeDoDeDescriptor(desc_dim=desc_dim)
         self.num_keypoints = num_keypoints
         self._pdet = params_det
         self._pdesc = params_desc
@@ -176,8 +267,10 @@ class DeDoDe:
     def _prep(self, images: jax.Array) -> jax.Array:
         B, C, H, W = images.shape
         check(C == 3, f"DeDoDe expects (B, 3, H, W) RGB input, got C={C}")
-        check(H % 8 == 0 and W % 8 == 0,
-              f"DeDoDe needs H, W divisible by 8, got {H}x{W}")
+        div = 56 if self.descriptor_type == "G" else 8  # lcm(8, 14)
+        check(H % div == 0 and W % div == 0,
+              f"DeDoDe-{self.descriptor_type} needs H, W divisible by "
+              f"{div}, got {H}x{W}")
         x = jnp.transpose(as_float(images), (0, 2, 3, 1))
         mean = jnp.asarray(_IMAGENET_MEAN, x.dtype)
         std = jnp.asarray(_IMAGENET_STD, x.dtype)
