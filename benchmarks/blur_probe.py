@@ -5,7 +5,11 @@ Timing by fetch-forced batch scaling (see bench.py): device time of one
 batch-B application = (T(B*mult) - T(B)) / (mult - 1), min over reps.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -79,6 +79,59 @@ def run(D: int, P_per_dev: int = 64, C: int = 8, iters: int = 6):
     return iters / dt
 
 
+def run_sparse(D: int, P_per_dev: int = 2500, C: int = 100, T: int = 6,
+               iters: int = 4):
+    """SfM-scale sparse-Schur path (VERDICT item 5): 100 cams, 2.5k points
+    per device (20k at 8 devices), per-point track tables. Peak per-shard
+    Schur memory = chunk*T^2*36*4 B (4.7 MB at chunk=512, T=6) + the
+    replicated (C^2, 6, 6) accumulator (1.4 MB at C=100) — independent of
+    the total map size, vs the dense path's O(C * P_local) coupling."""
+    import numpy as np
+
+    from kornia_tpu.geometry.liegroup import Se3
+    from kornia_tpu.parallel.dist_ba import (build_sharded_point_tables,
+                                             distributed_bundle_adjust_sparse)
+    from kornia_tpu.parallel.mesh import make_mesh
+    from kornia_tpu.slam.ba import BAProblem, BAState, reprojection_residuals
+
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 6)
+    P = D * P_per_dev
+    angles = jnp.linspace(-0.3, 0.3, C)
+    poses = Se3.exp(jnp.stack([jnp.zeros(C)] * 4 + [angles, jnp.zeros(C)], -1))
+    poses = Se3(poses.r, poses.t + jnp.stack(
+        [jnp.linspace(-1, 1, C), jnp.zeros(C), jnp.zeros(C)], -1))
+    X = jax.random.normal(ks[0], (P, 3)) * 1.5 + jnp.array([0.0, 0, 6.0])
+    K = jnp.array([[200.0, 0, 128], [0, 200, 96], [0, 0, 1]])
+    start = jax.random.randint(ks[1], (P,), 0, max(C - T, 1))
+    cam_idx = (start[:, None] + jnp.arange(T)[None]).reshape(-1)
+    pt_idx = jnp.repeat(jnp.arange(P), T)
+    state_gt = BAState(poses, X)
+    prob = BAProblem(cam_idx, pt_idx, jnp.zeros((P * T, 2)),
+                     jnp.ones(P * T, bool), K)
+    uv = reprojection_residuals(state_gt, prob)
+    uv = uv + 0.2 * jax.random.normal(ks[2], uv.shape)
+    state0 = BAState(
+        Se3((Se3.exp(0.02 * jax.random.normal(ks[3], (C, 6))).r * poses.r),
+            poses.t + 0.05 * jax.random.normal(ks[4], (C, 3))),
+        X + 0.1 * jax.random.normal(ks[5], (P, 3)))
+    cams_t, uv_t, mask_t = build_sharded_point_tables(
+        np.asarray(cam_idx), np.asarray(pt_idx), np.asarray(uv),
+        np.ones(P * T, bool), P, max_track=T)
+    mesh = make_mesh((D, 1), devices=jax.devices()[:D])
+    argsets = (mesh, state0, jnp.asarray(cams_t), jnp.asarray(uv_t),
+               jnp.asarray(mask_t), K, C)
+    st, costs = distributed_bundle_adjust_sparse(
+        *argsets, num_iters=iters, init_lambda=0.1)
+    jax.block_until_ready(costs)
+    t0 = time.perf_counter()
+    st, costs = distributed_bundle_adjust_sparse(
+        *argsets, num_iters=iters, init_lambda=0.1)
+    jax.block_until_ready(costs)
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
 def main():
     results = {}
     base = None
@@ -90,6 +143,16 @@ def main():
             base = ips
         results[f"ba_iters_per_s_{D}dev"] = round(ips, 2)
         results[f"weak_scaling_eff_{D}dev"] = round(ips / base, 3)
+    base_s = None
+    for D in (1, 2, 4, 8):
+        if D > jax.device_count():
+            break
+        ips = run_sparse(D)
+        if base_s is None:
+            base_s = ips
+        results[f"ba_sparse100c_iters_per_s_{D}dev"] = round(ips, 2)
+        results[f"sparse_weak_scaling_eff_{D}dev"] = round(ips / base_s, 3)
+        results[f"sparse_points_{D}dev"] = D * 2500
     print(json.dumps(results))
 
 

@@ -28,19 +28,46 @@ class _Base3D(AugmentationBase2D):
     """3D ops reuse the 2D machinery (mask gating, key splitting)."""
 
 
+def _flip_matrix4(shape, axis):
+    """(B, 4, 4) reflection about the volume centre along `axis`
+    (-1 = W/horizontal, -2 = H/vertical, -3 = D/depthical); xyz order
+    matches get_projective_transform (reference _3d/geometric/
+    horizontal_flip.py compute_transformation)."""
+    B = shape[0]
+    D, H, W = shape[-3:]
+    diag = [1.0, 1.0, 1.0, 1.0]
+    trans = [0.0, 0.0, 0.0]
+    idx = {-1: 0, -2: 1, -3: 2}[axis]
+    size = {-1: W, -2: H, -3: D}[axis]
+    diag[idx] = -1.0
+    trans[idx] = size - 1.0
+    M = jnp.diag(jnp.asarray(diag))
+    M = M.at[:3, 3].set(jnp.asarray(trans))
+    return jnp.broadcast_to(M, (B, 4, 4))
+
+
 class RandomHorizontalFlip3D(_Base3D):
     def apply(self, x, params):
         return jnp.flip(x, axis=-1)
+
+    def matrix4(self, params, shape):
+        return _flip_matrix4(shape, -1)
 
 
 class RandomVerticalFlip3D(_Base3D):
     def apply(self, x, params):
         return jnp.flip(x, axis=-2)
 
+    def matrix4(self, params, shape):
+        return _flip_matrix4(shape, -2)
+
 
 class RandomDepthicalFlip3D(_Base3D):
     def apply(self, x, params):
         return jnp.flip(x, axis=-3)
+
+    def matrix4(self, params, shape):
+        return _flip_matrix4(shape, -3)
 
 
 class RandomRotation3D(_Base3D):
@@ -62,12 +89,19 @@ class RandomRotation3D(_Base3D):
         return {"angles": angles}
 
     def apply(self, x, params):
-        B = x.shape[0]
         D, H, W = x.shape[-3:]
+        M = self.matrix4(params, x.shape)[:, :3]
+        return warp_affine3d(x, M, (D, H, W))
+
+    def matrix4(self, params, shape):
+        B = params["angles"].shape[0]
+        D, H, W = shape[-3:]
         center = jnp.broadcast_to(
             jnp.array([(W - 1) / 2.0, (H - 1) / 2.0, (D - 1) / 2.0]), (B, 3))
-        M = get_projective_transform(center, params["angles"], jnp.ones(B))
-        return warp_affine3d(x, M, (D, H, W))
+        M = get_projective_transform(center, params["angles"],
+                                     jnp.ones(B))  # (B, 3, 4)
+        bottom = jnp.broadcast_to(jnp.array([[0.0, 0, 0, 1]]), (B, 1, 4))
+        return jnp.concatenate([M, bottom], axis=1)
 
 
 class RandomAffine3D(_Base3D):
@@ -104,13 +138,20 @@ class RandomAffine3D(_Base3D):
         return {"angles": angles, "t": t, "scale": scale}
 
     def apply(self, x, params):
-        B = x.shape[0]
         D, H, W = x.shape[-3:]
+        M = self.matrix4(params, x.shape)[:, :3]
+        return warp_affine3d(x, M, (D, H, W))
+
+    def matrix4(self, params, shape):
+        B = params["angles"].shape[0]
+        D, H, W = shape[-3:]
         center = jnp.broadcast_to(
             jnp.array([(W - 1) / 2.0, (H - 1) / 2.0, (D - 1) / 2.0]), (B, 3))
-        M = get_projective_transform(center, params["angles"], params["scale"])
+        M = get_projective_transform(center, params["angles"],
+                                     params["scale"])
         M = M.at[:, :, 3].add(params["t"])
-        return warp_affine3d(x, M, (D, H, W))
+        bottom = jnp.broadcast_to(jnp.array([[0.0, 0, 0, 1]]), (B, 1, 4))
+        return jnp.concatenate([M, bottom], axis=1)
 
 
 class RandomCrop3D(_Base3D):
@@ -122,11 +163,12 @@ class RandomCrop3D(_Base3D):
         D, H, W = shape[-3:]
         d, h, w = self.size
         ks = jax.random.split(key, 3)
-        return {
-            "z0": jax.random.randint(ks[0], (), 0, max(D - d, 0) + 1),
-            "y0": jax.random.randint(ks[1], (), 0, max(H - h, 0) + 1),
-            "x0": jax.random.randint(ks[2], (), 0, max(W - w, 0) + 1),
-        }
+        n = 1 if self.same_on_batch else batch
+        z0 = jax.random.randint(ks[0], (n,), 0, max(D - d, 0) + 1)
+        y0 = jax.random.randint(ks[1], (n,), 0, max(H - h, 0) + 1)
+        x0 = jax.random.randint(ks[2], (n,), 0, max(W - w, 0) + 1)
+        bcast = lambda a: jnp.broadcast_to(a, (batch,))
+        return {"z0": bcast(z0), "y0": bcast(y0), "x0": bcast(x0)}
 
     def __call__(self, x, key=None, params=None):
         x = as_float(x)
@@ -134,10 +176,19 @@ class RandomCrop3D(_Base3D):
             if key is None:
                 key = jax.random.PRNGKey(0)
             params = self.generate_parameters(key, x.shape)
-        B, C = x.shape[:2]
-        return jax.lax.dynamic_slice(
-            x, (0, 0, params["z0"], params["y0"], params["x0"]),
-            (B, C, *self.size))
+        C = x.shape[1]
+        # per-sample crop origin (reference random_crop_generator3d)
+        return jax.vmap(
+            lambda xi, z, y, xx: jax.lax.dynamic_slice(
+                xi, (0, z, y, xx), (C, *self.size)))(
+            x, params["z0"], params["y0"], params["x0"])
+
+    def matrix4(self, params, shape):
+        B = params["z0"].shape[0]
+        M = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+        t = -jnp.stack([params["x0"], params["y0"], params["z0"]],
+                       -1).astype(jnp.float32)
+        return M.at[:, :3, 3].set(t)
 
 
 class CenterCrop3D(_Base3D):

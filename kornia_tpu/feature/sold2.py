@@ -36,7 +36,7 @@ from ..core.dtype import as_float
 from ..geometry.subpix import nms2d
 
 __all__ = ["SOLD2Net", "SOLD2_detector", "SOLD2", "detect_line_segments",
-           "prob_to_junctions", "match_lines_nw"]
+           "refine_segments_perturb", "prob_to_junctions", "match_lines_nw"]
 
 
 # ---------------------------------------------------------------------------
@@ -187,65 +187,201 @@ def _refine_heatmap(heatmap: jax.Array, ratio: float = 0.2,
     return jnp.clip(heatmap / jnp.maximum(denom, 1e-6), 0.0, 1.0)
 
 
+def _refine_heatmap_local(heatmap: jax.Array, num_blocks: int = 5,
+                          overlap_ratio: float = 0.5, ratio: float = 0.2,
+                          valid_thresh: float = 2e-3) -> jax.Array:
+    """Local (blockwise) heatmap refinement
+    (sold2_detector.py refine_heatmap_local:319): overlapping blocks are
+    globally refined independently and averaged. Block boundaries are
+    static, so the reference's Python block loop unrolls at trace time."""
+    H, W = heatmap.shape
+    inc = 1 - overlap_ratio
+    h_block = round(H / (1 + (num_blocks - 1) * inc))
+    w_block = round(W / (1 + (num_blocks - 1) * inc))
+    out = jnp.zeros_like(heatmap)
+    count = jnp.zeros_like(heatmap)
+    for hi in range(num_blocks):
+        for wi in range(num_blocks):
+            h0 = round(hi * h_block * inc)
+            w0 = round(wi * w_block * inc)
+            h1 = h0 + h_block if hi < num_blocks - 1 else H
+            w1 = w0 + w_block if wi < num_blocks - 1 else W
+            sub = heatmap[h0:h1, w0:w1]
+            refined = jnp.where(sub.max() > valid_thresh,
+                                _refine_heatmap(sub, ratio, valid_thresh),
+                                sub)
+            out = out.at[h0:h1, w0:w1].add(refined)
+            count = count.at[h0:h1, w0:w1].add(1.0)
+    return jnp.clip(out / count, 0.0, 1.0)
+
+
+def _circle_offsets(radius: float) -> jax.Array:
+    """Static (P, 2) integer offsets within `radius` of the patch center
+    (sold2_detector.py detect_local_max patch construction)."""
+    import numpy as _np
+    r = int(radius)
+    ys, xs = _np.meshgrid(_np.arange(-r, r + 1), _np.arange(-r, r + 1),
+                          indexing="ij")
+    pts = _np.stack([ys, xs], -1).reshape(-1, 2)
+    keep = _np.sqrt((pts.astype(_np.float32) ** 2).sum(-1)) <= radius
+    return jnp.asarray(pts[keep])
+
+
 def detect_line_segments(
     junctions: jax.Array,
     valid: jax.Array,
     heatmap: jax.Array,
     detect_thresh: float = 0.5,
     num_samples: int = 64,
-    inlier_thresh: float = 0.7,
+    inlier_thresh: float = 0.99,
     nms_dist_tolerance: float = 3.0,
     use_candidate_suppression: bool = True,
     use_heatmap_refinement: bool = True,
+    heatmap_refine_mode: str = "global",
+    sampling: str = "local_max",
+    max_local_patch_radius: float = 3.0,
+    lambda_radius: float = 2.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """All-pairs line verification (sold2_detector.py
-    LineSegmentDetectionModule.detect).
+    LineSegmentDetectionModule.detect:205), reference-exact semantics.
+
+    The reference's dynamic candidate index list becomes the full (K, K)
+    pair grid; its default `detect_local_max` sampling runs as a
+    `lax.scan` over the S sample positions so the (K, K, P) patch tensor
+    never exists for more than one sample at a time.
 
     Args:
         junctions: (K, 2) float ij coordinates.
         valid: (K,) bool junction validity.
         heatmap: (H, W) line heatmap in [0, 1].
+        sampling: "local_max" (reference default) or "bilinear".
+        heatmap_refine_mode: "global" or "local" (reference cfg default).
     Returns:
         adjacency: (K, K) bool symmetric line map.
-        score: (K, K) mean heatmap activation per candidate pair.
+        score: (K, K) mean sampled activation per candidate pair.
     """
     junctions = as_float(junctions)
     K = junctions.shape[0]
     H, W = heatmap.shape
     if use_heatmap_refinement:
-        heatmap = _refine_heatmap(heatmap)
-    # linspace samples along every (i, j) pair: (K, K, S)
+        if heatmap_refine_mode == "local":
+            heatmap = _refine_heatmap_local(heatmap)
+        else:
+            heatmap = _refine_heatmap(heatmap)
+    # sample positions along every (i, j) pair; reference ordering
+    # (detect:255): start * t + end * (1 - t), clipped to the image.
     t = jnp.linspace(0.0, 1.0, num_samples, dtype=junctions.dtype)
-    ys = junctions[:, None, 0, None] * t + junctions[None, :, 0, None] * (1 - t)
-    xs = junctions[:, None, 1, None] * t + junctions[None, :, 1, None] * (1 - t)
-    sampled = _bilinear_hw(heatmap, ys, xs)  # (K, K, S)
-    score = jnp.mean(sampled, axis=-1)
-    keep = score > detect_thresh
-    if inlier_thresh > 0:
+    ys = jnp.clip(junctions[:, None, 0, None] * t
+                  + junctions[None, :, 0, None] * (1 - t), 0.0, H - 1.0)
+    xs = jnp.clip(junctions[:, None, 1, None] * t
+                  + junctions[None, :, 1, None] * (1 - t), 0.0, W - 1.0)
+    if sampling == "local_max":
+        # (detect_local_max:517) per sample point, take the max heatmap
+        # value over the circular patch, masked to the adaptive radius
+        # 0.5*sqrt(2) + lambda * normalized segment length.
+        seg_len = jnp.linalg.norm(
+            junctions[:, None, :] - junctions[None, :, :], axis=-1)
+        dist_thresh = (0.5 * math.sqrt(2.0)
+                       + lambda_radius * seg_len / math.hypot(H, W))  # (K, K)
+        offs = _circle_offsets(max_local_patch_radius)  # (P, 2) int
+
+        def one_sample(carry, yx):
+            s_sum, s_cnt = carry
+            y, x = yx  # (K, K) each
+            base = jnp.stack([jnp.round(y), jnp.round(x)], -1)  # (K, K, 2)
+            pts = base[:, :, None, :] + offs[None, None]        # (K, K, P, 2)
+            d = jnp.sqrt((pts[..., 0] - y[..., None]) ** 2
+                         + (pts[..., 1] - x[..., None]) ** 2)
+            ok = d < dist_thresh[..., None]
+            py = jnp.clip(pts[..., 0], 0, H - 1).astype(jnp.int32)
+            px = jnp.clip(pts[..., 1], 0, W - 1).astype(jnp.int32)
+            v = heatmap[py, px] * ok.astype(heatmap.dtype)
+            m = jnp.max(v, axis=-1)                             # (K, K)
+            return (s_sum + m,
+                    s_cnt + (m > detect_thresh).astype(m.dtype)), None
+
+        (s_sum, s_cnt), _ = jax.lax.scan(
+            one_sample,
+            (jnp.zeros((K, K), heatmap.dtype),
+             jnp.zeros((K, K), heatmap.dtype)),
+            (jnp.moveaxis(ys, -1, 0), jnp.moveaxis(xs, -1, 0)))
+        score = s_sum / num_samples
+        inlier_ratio = s_cnt / num_samples
+    else:
+        sampled = _bilinear_hw(heatmap, ys, xs)  # (K, K, S)
+        score = jnp.mean(sampled, axis=-1)
         inlier_ratio = jnp.mean((sampled > detect_thresh).astype(score.dtype),
                                 axis=-1)
+
+    keep = score > detect_thresh
+    if inlier_thresh > 0:
         keep &= inlier_ratio >= inlier_thresh
     # only strict upper-triangle pairs of two distinct valid junctions
     pair_ok = valid[:, None] & valid[None, :]
     iu = jnp.triu(jnp.ones((K, K), bool), k=1)
     keep &= pair_ok & iu
     if use_candidate_suppression:
-        # suppress (i, j) if a third valid junction lies on the open segment
-        # within `nms_dist_tolerance` px (the two sub-segments survive
-        # instead) — dense form of candidate_suppression's index-list walk.
+        # (candidate_suppression:356) suppress (i, j) if any OTHER valid
+        # junction projects onto the closed segment (t in [0, 1]) within
+        # `nms_dist_tolerance` px — the two sub-segments survive instead.
         p1 = junctions[:, None, None, :]          # (K, 1, 1, 2)
         p2 = junctions[None, :, None, :]          # (1, K, 1, 2)
         q = junctions[None, None, :, :]           # (1, 1, K, 2)
         d = p2 - p1
-        len2 = jnp.maximum(jnp.sum(d * d, -1), 1e-6)
+        len2 = jnp.maximum(jnp.sum(d * d, -1), 1e-12)
         tt = jnp.sum((q - p1) * d, -1) / len2     # (K, K, K) projection param
-        interior = (tt > 0.05) & (tt < 0.95)
+        on_seg = (tt >= 0.0) & (tt <= 1.0)
         proj = p1 + tt[..., None] * d
         dist = jnp.linalg.norm(q - proj, axis=-1)
-        on_line = interior & (dist < nms_dist_tolerance) & valid[None, None, :]
+        third = (jnp.arange(K)[None, None, :]
+                 != jnp.arange(K)[:, None, None]) \
+            & (jnp.arange(K)[None, None, :] != jnp.arange(K)[None, :, None])
+        on_line = on_seg & (dist <= nms_dist_tolerance) & \
+            valid[None, None, :] & third
         keep &= ~jnp.any(on_line, axis=-1)
     adjacency = keep | keep.T
     return adjacency, score
+
+
+def refine_segments_perturb(
+    segments: jax.Array,
+    mask: jax.Array,
+    heatmap: jax.Array,
+    num_perturbs: int = 9,
+    perturb_interval: float = 0.25,
+    num_samples: int = 64,
+) -> jax.Array:
+    """LSD-style endpoint refinement
+    (sold2_detector.py refine_junction_perturb:403): both endpoints of each
+    detected segment are perturbed over a 4-D grid; the candidate with the
+    highest mean bilinear heatmap activation wins.
+
+    The reference's per-segment Python loop becomes a `lax.scan` over the
+    padded segment array: per step one (num_perturbs^4, S) sample block.
+
+    segments (L, 2, 2) ij, mask (L,); returns refined (L, 2, 2).
+    """
+    H, W = heatmap.shape
+    side = (num_perturbs - 1) // 2
+    pv = (jnp.arange(-side, side + 1).astype(segments.dtype)
+          * perturb_interval)
+    g = jnp.meshgrid(pv, pv, pv, pv, indexing="ij")
+    perturb = jnp.stack([gg.reshape(-1) for gg in g], -1).reshape(-1, 2, 2)
+    t = jnp.linspace(0.0, 1.0, num_samples, dtype=segments.dtype)
+
+    def one_segment(_, seg):
+        cand = seg[None] + perturb                       # (P4, 2, 2)
+        cand = jnp.stack([jnp.clip(cand[..., 0], 0.0, H - 1.0),
+                          jnp.clip(cand[..., 1], 0.0, W - 1.0)], -1)
+        # reference ordering: start * t + end * (1 - t)
+        ys = cand[:, 0, 0, None] * t + cand[:, 1, 0, None] * (1 - t)
+        xs = cand[:, 0, 1, None] * t + cand[:, 1, 1, None] * (1 - t)
+        feat = _bilinear_hw(heatmap, ys, xs)             # (P4, S)
+        best = jnp.argmax(jnp.mean(feat, -1))
+        return None, cand[best]
+
+    _, refined = jax.lax.scan(one_segment, None, segments)
+    return jnp.where(mask[:, None, None], refined, segments)
 
 
 def adjacency_to_segments(junctions: jax.Array, adjacency: jax.Array,
@@ -273,7 +409,9 @@ class SOLD2_detector:
 
     def __init__(self, max_junctions: int = 250, max_segments: int = 512,
                  detect_thresh: float = 0.5, num_samples: int = 64,
-                 inlier_thresh: float = 0.7, grid_size: int = 8,
+                 inlier_thresh: float = 0.99, grid_size: int = 8,
+                 sampling: str = "local_max",
+                 use_junction_refinement: bool = True,
                  params: Optional[Any] = None, key: Optional[jax.Array] = None):
         self.max_junctions = max_junctions
         self.max_segments = max_segments
@@ -281,6 +419,8 @@ class SOLD2_detector:
         self.num_samples = num_samples
         self.inlier_thresh = inlier_thresh
         self.grid_size = grid_size
+        self.sampling = sampling
+        self.use_junction_refinement = use_junction_refinement
         self.net = SOLD2Net(grid_size=grid_size)
         self._params = params
         self._key = key if key is not None else jax.random.PRNGKey(0)
@@ -307,8 +447,12 @@ class SOLD2_detector:
             junc, valid = prob_to_junctions(j_prob, self.max_junctions)
             adj, score = detect_line_segments(
                 junc, valid, heat, self.detect_thresh, self.num_samples,
-                self.inlier_thresh)
-            return adjacency_to_segments(junc, adj, score, self.max_segments)
+                self.inlier_thresh, sampling=self.sampling)
+            segs, mask = adjacency_to_segments(junc, adj, score,
+                                               self.max_segments)
+            if self.use_junction_refinement:
+                segs = refine_segments_perturb(segs, mask, heat)
+            return segs, mask
 
         segs, mask = jax.vmap(per_image)(out["junctions"], out["heatmap"])
         return {"junction_heatmap": out["junctions"],

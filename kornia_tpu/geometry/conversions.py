@@ -75,6 +75,9 @@ def convert_points_from_homogeneous(points: jax.Array, eps: float = _EPS) -> jax
 
 
 def convert_points_to_homogeneous(points: jax.Array) -> jax.Array:
+    if points.ndim < 2:
+        raise ValueError(
+            f"points must be at least (N, D), got shape {points.shape}")
     return jnp.concatenate([points, jnp.ones_like(points[..., :1])], axis=-1)
 
 
@@ -176,6 +179,8 @@ def rotation_matrix_to_quaternion(R: jax.Array, eps: float = _EPS) -> jax.Array:
 
 
 def normalize_quaternion(q: jax.Array, eps: float = 1e-12) -> jax.Array:
+    if q.shape[-1] != 4:
+        raise ValueError(f"quaternion must be (..., 4) wxyz, got {q.shape}")
     return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
 
 

@@ -40,6 +40,8 @@ __all__ = [
 
 
 def _split3(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    check(x.ndim >= 3 and x.shape[-3] == 3,
+          f"expected (..., 3, H, W) color image, got {x.shape}")
     return x[..., 0:1, :, :], x[..., 1:2, :, :], x[..., 2:3, :, :]
 
 

@@ -176,6 +176,8 @@ def solarize(image: jax.Array, thresholds=0.5, additions=None) -> jax.Array:
 def posterize(image: jax.Array, bits) -> jax.Array:
     """Reduce to `bits` bits per channel (reference: adjust.py posterize)."""
     image = as_float(image)
+    if isinstance(bits, int) and not 0 <= bits <= 8:
+        raise ValueError(f"posterize bits must be in [0, 8], got {bits}")
     bits = jnp.asarray(bits)
     if bits.ndim == 0:
         levels = 2.0 ** bits.astype(image.dtype)

@@ -438,6 +438,9 @@ def box_blur(x: jax.Array, kernel_size, border_type: str = "reflect",
 def gaussian_blur2d(x: jax.Array, kernel_size, sigma,
                     border_type: str = "reflect", separable: bool = True) -> jax.Array:
     ky, kx = _pair(kernel_size)
+    if ky % 2 == 0 or kx % 2 == 0:
+        raise ValueError(
+            f"gaussian_blur2d kernel_size must be odd, got {(ky, kx)}")
     if isinstance(sigma, (int, float)):
         sy = sx = float(sigma)
     else:

@@ -558,6 +558,8 @@ def resize(
         else:
             size = (H, size)
     h, w = size
+    if h <= 0 or w <= 0:
+        raise ValueError(f"resize target must be positive, got {(h, w)}")
     if (h, w) == (H, W):
         return image
     method = {"bilinear": "bilinear", "nearest": "nearest", "bicubic": "bicubic",

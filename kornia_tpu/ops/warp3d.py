@@ -165,8 +165,11 @@ def warp_perspective3d(src: jax.Array, M: jax.Array,
 
     src_norm = norm_mat(D, H, W)
     dst_norm = norm_mat(Do, Ho, Wo)
-    M_norm = dst_norm[None] @ M.astype(src.dtype) @ jnp.linalg.inv(src_norm)[None]
-    M_inv = jnp.linalg.inv(M_norm)
+    # matrix algebra in f32 even for bf16 images: inverses/solves are
+    # f32 compute (bf16 is a storage dtype; CPU lapack has no bf16 kernel)
+    M_norm = (dst_norm[None] @ M.astype(jnp.float32)
+              @ jnp.linalg.inv(src_norm.astype(jnp.float32))[None])
+    M_inv = jnp.linalg.inv(M_norm).astype(src.dtype)
     grid = create_meshgrid3d(Do, Ho, Wo, True, src.dtype)  # (1, Do, Ho, Wo, 3)
     pts = jnp.broadcast_to(grid.reshape(1, -1, 3), (B, Do * Ho * Wo, 3))
     ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
@@ -190,12 +193,14 @@ def crop_by_boxes3d(src: jax.Array, src_box: jax.Array, dst_box: jax.Array,
     # M (4, 3): src = A @ M
     AtA = jnp.einsum("bni,bnj->bij", A, A)
     Atb = jnp.einsum("bni,bnk->bik", A, src_pts)
-    M = jnp.linalg.solve(AtA + 1e-8 * jnp.eye(4), Atb)  # (B, 4, 3)
+    M = jnp.linalg.solve((AtA + 1e-8 * jnp.eye(4)).astype(jnp.float32),
+                         Atb.astype(jnp.float32))  # (B, 4, 3)
     M44 = jnp.concatenate(
         [jnp.swapaxes(M, -1, -2),
          jnp.broadcast_to(jnp.array([[[0.0, 0, 0, 1.0]]]), (B, 1, 4))], axis=1)
     # warp_perspective3d expects src→dst; we built dst→src, so invert
-    return warp_perspective3d(src, jnp.linalg.inv(M44), dsize)
+    return warp_perspective3d(
+        src, jnp.linalg.inv(M44.astype(jnp.float32)).astype(src.dtype), dsize)
 
 
 def crop3d(src: jax.Array, start: Tuple[int, int, int],

@@ -132,3 +132,59 @@ class TestAliases:
         assert A.RandomSaltAndPepperNoise is A.RandomSaltAndPepper
         assert A.PatchMix is A.RandomPatchMix
         assert issubclass(A.RandomTransplantation3D, A.RandomTransplantation)
+
+
+class Test3DMatrices:
+    """matrix4 tracking + per-sample crop origins (reference
+    _3d/geometric bases compute_transformation)."""
+
+    def test_flip_matrix_roundtrips_points(self):
+        import jax.numpy as jnp
+        vol_shape = (2, 1, 4, 6, 8)
+        for cls, axis in [(A.RandomHorizontalFlip3D, -1),
+                          (A.RandomVerticalFlip3D, -2),
+                          (A.RandomDepthicalFlip3D, -3)]:
+            aug = cls(p=1.0)
+            M = aug.matrix4({}, vol_shape)
+            assert M.shape == (2, 4, 4)
+            # applying the matrix twice is the identity
+            np.testing.assert_allclose(np.asarray(M @ M),
+                                       np.broadcast_to(np.eye(4), (2, 4, 4)),
+                                       atol=1e-6)
+            # corner (0,0,0) maps to the far corner along the flip axis
+            p = np.asarray(M @ jnp.asarray([0.0, 0, 0, 1.0]))
+            size = vol_shape[2:][{-1: 2, -2: 1, -3: 0}[axis]]
+            assert abs(p[0, {-1: 0, -2: 1, -3: 2}[axis]] - (size - 1)) < 1e-6
+
+    def test_rotation_affine_matrix_matches_warp(self):
+        import jax
+        import jax.numpy as jnp
+        from kornia_tpu.ops.warp3d import warp_affine3d
+        vol = jax.random.uniform(jax.random.PRNGKey(0), (2, 1, 6, 8, 8))
+        for aug in [A.RandomRotation3D(20.0, p=1.0),
+                    A.RandomAffine3D(15.0, translate=(0.1, 0.1, 0.1),
+                                     scale=(0.9, 1.1), p=1.0)]:
+            params = aug.generate_parameters(jax.random.PRNGKey(1), vol.shape)
+            out = aug.apply(vol, params)
+            M = aug.matrix4(params, vol.shape)
+            np.testing.assert_allclose(np.asarray(M[:, 3]),
+                                       np.broadcast_to([0, 0, 0, 1.0], (2, 4)))
+            out2 = warp_affine3d(vol, M[:, :3], vol.shape[-3:])
+            np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                                       atol=1e-5)
+
+    def test_random_crop3d_per_sample(self):
+        import jax
+        vol = jax.random.uniform(jax.random.PRNGKey(0), (4, 1, 6, 8, 8))
+        aug = A.RandomCrop3D((4, 5, 5))
+        params = aug.generate_parameters(jax.random.PRNGKey(2), vol.shape)
+        out = aug(vol, params=params)
+        assert out.shape == (4, 1, 4, 5, 5)
+        z0, y0, x0 = (np.asarray(params[k]) for k in ("z0", "y0", "x0"))
+        # origins differ across the batch (per-sample sampling)
+        assert len({(a, b, c) for a, b, c in zip(z0, y0, x0)}) > 1
+        for i in range(4):
+            np.testing.assert_allclose(
+                np.asarray(out[i]),
+                np.asarray(vol[i, :, z0[i]:z0[i] + 4, y0[i]:y0[i] + 5,
+                               x0[i]:x0[i] + 5]))

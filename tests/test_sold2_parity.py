@@ -1,0 +1,131 @@
+"""SOLD2 line-detection parity vs the reference torch implementation
+(kornia/feature/sold2/sold2_detector.py LineSegmentDetectionModule).
+
+Identical junctions + synthetic line heatmaps go through both detectors;
+the resulting line maps (junction adjacency) and refined segments must
+match. VERDICT item 10.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.append("/root/reference")
+sys.modules.setdefault("kornia_rs", types.ModuleType("kornia_rs"))
+
+torch = pytest.importorskip("torch")
+kornia = pytest.importorskip("kornia")
+
+import jax
+import jax.numpy as jnp
+
+from kornia.feature.sold2.sold2_detector import LineSegmentDetectionModule
+from kornia.feature.sold2.structures import (HeatMapRefineCfg,
+                                             JunctionRefineCfg,
+                                             LineDetectorCfg)
+
+from kornia_tpu.feature.sold2 import (detect_line_segments,
+                                      refine_segments_perturb)
+
+
+def _line_heatmap(H, W, segments, sigma=1.0):
+    """Render soft line segments into an (H, W) heatmap."""
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pts = np.stack([ys, xs], -1).astype(np.float64)  # (H, W, 2)
+    heat = np.zeros((H, W))
+    for (p1, p2) in segments:
+        p1 = np.asarray(p1, float)
+        p2 = np.asarray(p2, float)
+        d = p2 - p1
+        L2 = max((d ** 2).sum(), 1e-9)
+        t = np.clip(((pts - p1) * d).sum(-1) / L2, 0.0, 1.0)
+        proj = p1 + t[..., None] * d
+        dist = np.sqrt(((pts - proj) ** 2).sum(-1))
+        heat = np.maximum(heat, np.exp(-0.5 * (dist / sigma) ** 2))
+    return heat.astype(np.float32)
+
+
+def _setup(seed=0, H=64, W=64):
+    rng = np.random.default_rng(seed)
+    true_segs = [
+        ((8.0, 8.0), (8.0, 52.0)),
+        ((8.0, 8.0), (50.0, 12.0)),
+        ((20.0, 40.0), (52.0, 44.0)),
+        ((40.0, 10.0), (44.0, 50.0)),
+    ]
+    heat = _line_heatmap(H, W, true_segs)
+    # junctions = all segment endpoints + a few decoys off any line
+    juncs = sorted({p for s in true_segs for p in s})
+    juncs += [(30.0, 25.0), (55.0, 55.0), (14.0, 30.0)]
+    juncs = np.asarray(juncs, np.float32)
+    juncs += rng.uniform(-0.3, 0.3, juncs.shape).astype(np.float32)
+    return juncs, heat
+
+
+def _ref_cfg(refine_heatmap_mode, use_junction_refinement):
+    return LineDetectorCfg(
+        detect_thresh=0.5,
+        num_samples=64,
+        inlier_thresh=0.99,
+        use_candidate_suppression=True,
+        nms_dist_tolerance=3.0,
+        use_heatmap_refinement=refine_heatmap_mode is not None,
+        heatmap_refine_cfg=HeatMapRefineCfg(
+            mode=refine_heatmap_mode or "global", ratio=0.2,
+            valid_thresh=1e-2, num_blocks=5, overlap_ratio=0.5),
+        use_junction_refinement=use_junction_refinement,
+        junction_refine_cfg=JunctionRefineCfg(num_perturbs=9,
+                                              perturb_interval=0.25),
+    )
+
+
+class TestSOLD2LineDetectParity:
+    @pytest.mark.parametrize("refine_mode", ["global", None])
+    def test_line_map_matches_reference(self, refine_mode):
+        juncs, heat = _setup()
+        ref = LineSegmentDetectionModule(_ref_cfg(refine_mode, False))
+        line_map_ref, juncs_ref, heat_ref = ref.detect(
+            torch.from_numpy(juncs), torch.from_numpy(heat))
+        adj, score = detect_line_segments(
+            jnp.asarray(juncs), jnp.ones(len(juncs), bool),
+            jnp.asarray(heat),
+            detect_thresh=0.5, num_samples=64, inlier_thresh=0.99,
+            use_heatmap_refinement=refine_mode is not None,
+            heatmap_refine_mode=refine_mode or "global",
+            sampling="local_max")
+        np.testing.assert_array_equal(
+            np.asarray(adj).astype(np.int32),
+            line_map_ref.numpy().astype(np.int32))
+        # sanity: the four true lines are found, decoy pairs are not
+        assert np.asarray(adj).sum() >= 2 * 3
+
+    def test_refined_segments_match_reference(self):
+        juncs, heat = _setup(seed=3)
+        ref = LineSegmentDetectionModule(_ref_cfg("global", True))
+        line_map_ref, juncs_ref, _ = ref.detect(
+            torch.from_numpy(juncs), torch.from_numpy(heat))
+        from kornia.feature.sold2.sold2_detector import line_map_to_segments
+        segs_ref = line_map_to_segments(juncs_ref, line_map_ref).numpy()
+
+        adj, score = detect_line_segments(
+            jnp.asarray(juncs), jnp.ones(len(juncs), bool),
+            jnp.asarray(heat), detect_thresh=0.5, num_samples=64,
+            inlier_thresh=0.99, use_heatmap_refinement=True,
+            heatmap_refine_mode="global", sampling="local_max")
+        from kornia_tpu.feature.sold2 import adjacency_to_segments
+        segs, mask = adjacency_to_segments(jnp.asarray(juncs), adj, score,
+                                           max_segments=32)
+        # the reference refines on the REFINED heatmap
+        from kornia_tpu.feature.sold2 import _refine_heatmap
+        refined = refine_segments_perturb(
+            segs, mask, _refine_heatmap(jnp.asarray(heat)))
+        ours = np.asarray(refined)[np.asarray(mask)]
+        # same segment set (order-insensitive, endpoints may be swapped)
+        assert ours.shape[0] == segs_ref.shape[0]
+        for s in segs_ref:
+            d_fwd = np.abs(ours - s[None]).max(axis=(1, 2))
+            d_rev = np.abs(ours - s[::-1][None]).max(axis=(1, 2))
+            assert min(d_fwd.min(), d_rev.min()) < 1e-3, \
+                f"reference segment {s} not found in ours"
