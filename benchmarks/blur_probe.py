@@ -50,14 +50,14 @@ def main():
         img = jax.random.uniform(key, (B, C, H, W), dtype=jnp.float32)
         k1 = get_gaussian_kernel1d(k, 0.3 * ((k - 1) * 0.5 - 1) + 0.8)
         nbytes = B * C * H * W * 4 * 2  # read + write
+        # measured 2026-08 on v5e (fetch-forced batch scaling):
+        #   pallas_mm2 414.9 GB/s | xla_mm2 126.5 | (removed variants:
+        #   shift 76.9, transpose 125.6, matmul 61.2). All Pallas paths
+        #   are full f32; the XLA two-pass lowers f32 convs to bf16 MXU
+        #   multiplies (3.7e-3 max err) and its marginal-time measurement
+        #   collapses under batch scaling (XLA re-fuses across the batch).
         variants = {
             "xla_two_pass": lambda x: filter2d_separable(x, k1, k1, "reflect"),
-            "pallas_shift": lambda x: fused_separable_blur2d(
-                x, k1, k1, "reflect", variant="shift"),
-            "pallas_transpose": lambda x: fused_separable_blur2d(
-                x, k1, k1, "reflect", variant="transpose"),
-            "pallas_matmul": lambda x: fused_separable_blur2d(
-                x, k1, k1, "reflect", variant="matmul"),
             "pallas_mm2": lambda x: fused_separable_blur2d(
                 x, k1, k1, "reflect", variant="mm2"),
             "xla_mm2": lambda x: fused_separable_blur2d(

@@ -86,7 +86,9 @@ class RandomContrast(IntensityAugmentationBase2D):
         return {"factor": self._uniform(key, batch, *self.rng)}
 
     def apply(self, x, params):
-        return E.adjust_contrast_with_mean_subtraction(x, params["factor"])
+        # reference RandomContrast uses the MULTIPLICATIVE adjust_contrast
+        # (_2d/intensity/contrast.py:90), not the mean-subtraction variant
+        return E.adjust_contrast(x, params["factor"], self.clip_output)
 
 
 class RandomSaturation(IntensityAugmentationBase2D):
@@ -201,7 +203,9 @@ class RandomGaussianNoise(IntensityAugmentationBase2D):
         return {"noise": self.mean + self.std * jax.random.normal(key, shape)}
 
     def apply(self, x, params):
-        return jnp.clip(x + params["noise"], 0.0, 1.0)
+        # reference adds the sampled noise UNclipped
+        # (_2d/intensity/gaussian_noise.py:71)
+        return x + params["noise"]
 
 
 class RandomMotionBlur(IntensityAugmentationBase2D):

@@ -305,7 +305,8 @@ def ycbcr_to_rgb(image: jax.Array) -> jax.Array:
     r = y + 1.403 * cr
     g = y - 0.714 * cr - 0.344 * cb
     b = y + 1.773 * cb
-    return jnp.concatenate([r, g, b], axis=-3)
+    # reference clamps to [0, 1] (color/ycbcr.py ycbcr_to_rgb)
+    return jnp.clip(jnp.concatenate([r, g, b], axis=-3), 0.0, 1.0)
 
 
 def rgb_to_yuv(image: jax.Array) -> jax.Array:

@@ -228,10 +228,12 @@ def _diff_kernel2d_2nd(dtype=jnp.float32) -> jax.Array:
     return jnp.stack([gxx, gxy, gyy])
 
 
-def get_motion_kernel2d(kernel_size: int, angle, direction=0.0, dtype=jnp.float32) -> jax.Array:
+def get_motion_kernel2d(kernel_size: int, angle, direction=0.0, dtype=jnp.float32,
+                        mode: str = "nearest") -> jax.Array:
     """(B, K, K) motion-blur kernel: an oriented line with intensity ramp
     (reference: filters/kernels_geometry.py get_motion_kernel2d).
-    Built by rotating a horizontal-line kernel with a bilinear warp."""
+    Built by rotating a horizontal-line kernel; `mode` is the rotation
+    resampling ("nearest" = reference default, or "bilinear")."""
     angle = jnp.atleast_1d(jnp.asarray(angle, dtype=dtype))
     direction = jnp.broadcast_to(jnp.asarray(direction, dtype=dtype), angle.shape)
     k = kernel_size
@@ -263,12 +265,16 @@ def get_motion_kernel2d(kernel_size: int, angle, direction=0.0, dtype=jnp.float3
         vals = jax.vmap(lambda im, y, x: im[y, x])(img, yy, xx)
         return jnp.where(valid, vals, 0.0)
 
-    out = (
-        tap(kern, y0, x0) * (1 - wx) * (1 - wy)
-        + tap(kern, y0, x0 + 1) * wx * (1 - wy)
-        + tap(kern, y0 + 1, x0) * (1 - wx) * wy
-        + tap(kern, y0 + 1, x0 + 1) * wx * wy
-    )
+    if mode == "nearest":
+        out = tap(kern, jnp.round(yr).astype(jnp.int32),
+                  jnp.round(xr).astype(jnp.int32))
+    else:
+        out = (
+            tap(kern, y0, x0) * (1 - wx) * (1 - wy)
+            + tap(kern, y0, x0 + 1) * wx * (1 - wy)
+            + tap(kern, y0 + 1, x0) * (1 - wx) * wy
+            + tap(kern, y0 + 1, x0 + 1) * wx * wy
+        )
     return out / jnp.sum(out, axis=(-2, -1), keepdims=True)
 
 
@@ -474,8 +480,9 @@ def median_blur(x: jax.Array, kernel_size,
 
 
 def motion_blur(x: jax.Array, kernel_size: int, angle, direction=0.0,
-                border_type: str = "constant") -> jax.Array:
-    kernel = get_motion_kernel2d(kernel_size, angle, direction)
+                border_type: str = "constant",
+                mode: str = "nearest") -> jax.Array:
+    kernel = get_motion_kernel2d(kernel_size, angle, direction, mode=mode)
     return filter2d(x, kernel, border_type)
 
 

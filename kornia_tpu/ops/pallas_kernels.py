@@ -134,37 +134,6 @@ def match_smnn_pallas(d1: jax.Array, d2: jax.Array, th: float = 0.95,
 # -----------------------------------------------------------------------------
 
 
-def _blur_kernel(x_ref, wv_ref, wh_ref, o_ref, *, ky, kx, H, W):
-    """NB images per instance: vertical then horizontal pass entirely in
-    VMEM — ONE HBM read + write instead of two conv round trips. Both
-    passes run in f32 regardless of storage dtype (the XLA conv path uses
-    bf16 MXU multiplies for f32 inputs)."""
-    x = x_ref[...].astype(jnp.float32)        # (NB, H + ky - 1, W + kx - 1)
-    acc = wv_ref[0, 0] * x[:, 0:H, :]
-    for k in range(1, ky):
-        acc += wv_ref[0, k] * x[:, k:k + H, :]
-    out = wh_ref[0, 0] * acc[:, :, 0:W]
-    for k in range(1, kx):
-        out += wh_ref[0, k] * acc[:, :, k:k + W]
-    o_ref[...] = out.astype(o_ref.dtype)
-
-
-def _blur_kernel_t(x_ref, wv_ref, wh_ref, o_ref, *, ky, kx, H, W):
-    """Transpose variant: the horizontal pass runs as a second vertical
-    pass on the in-VMEM transposed accumulator, so every shifted read is a
-    sublane shift (lane shifts at unaligned offsets are the slow path on
-    the VPU)."""
-    x = x_ref[...].astype(jnp.float32)        # (NB, Hp, Wp)
-    acc = wv_ref[0, 0] * x[:, 0:H, :]
-    for k in range(1, ky):
-        acc += wv_ref[0, k] * x[:, k:k + H, :]
-    acc_t = jnp.swapaxes(acc, 1, 2)           # (NB, Wp, H)
-    out_t = wh_ref[0, 0] * acc_t[:, 0:W, :]
-    for k in range(1, kx):
-        out_t += wh_ref[0, k] * acc_t[:, k:k + W, :]
-    o_ref[...] = jnp.swapaxes(out_t, 1, 2).astype(o_ref.dtype)
-
-
 def _blur_kernel_mm2(x_ref, sv_ref, sh_ref, o_ref, *, precision):
     """Both passes as MXU matmuls with the border handling folded into the
     banded operator matrices: out = S_v · x · S_hᵀ. No padded copy of the
@@ -208,18 +177,59 @@ def _band_matrix(kernel: jax.Array, size: int, border_type: str) -> jax.Array:
     return S.at[rows, idx].add(w)
 
 
-def _blur_kernel_mm(x_ref, wv_ref, sh_ref, o_ref, *, ky, H):
-    """Matmul variant: vertical pass by sublane shifts, horizontal pass as
-    one (NB*H, Wp) x (Wp, W) banded matmul on the MXU."""
-    x = x_ref[...].astype(jnp.float32)        # (NB, Hp, Wp)
-    acc = wv_ref[0, 0] * x[:, 0:H, :]
-    for k in range(1, ky):
-        acc += wv_ref[0, k] * x[:, k:k + H, :]
-    out = jax.lax.dot_general(
-        acc, sh_ref[...], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # (NB, H, W)
-    o_ref[...] = out.astype(o_ref.dtype)
+def _mm2_pallas_raw(xf: jax.Array, sv: jax.Array, sh: jax.Array,
+                    interpret: bool, out_dtype) -> jax.Array:
+    """One pallas_call computing Sv . x . Sh^T per image; xf (N, H, W)."""
+    N, H, W = xf.shape
+    per_img = 3 * H * W * 4
+    fixed = (H * H + W * W) * 4
+    NB = 1
+    for cand in (8, 4, 2):
+        if N % cand == 0 and cand * per_img + fixed <= 6 * 1024 * 1024:
+            NB = cand
+            break
+    return pl.pallas_call(
+        functools.partial(_blur_kernel_mm2, precision="float32"),
+        grid=(N // NB,),
+        in_specs=[
+            pl.BlockSpec((NB, H, W), lambda n: (n, 0, 0)),
+            pl.BlockSpec((H, H), lambda n: (0, 0)),
+            pl.BlockSpec((W, W), lambda n: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((NB, H, W), lambda n: (n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, H, W), out_dtype),
+        interpret=interpret,
+    )(xf.astype(jnp.float32), sv, sh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mm2_op(xf, sv, sh, interpret):
+    return _mm2_pallas_raw(xf, sv, sh, interpret, xf.dtype)
+
+
+def _mm2_fwd(xf, sv, sh, interpret):
+    return _mm2_op(xf, sv, sh, interpret), (xf, sv, sh)
+
+
+def _mm2_bwd(interpret, res, g):
+    """Adjoint of out = Sv x Sh^T: dx = Sv^T g Sh — the SAME fused kernel
+    with transposed band operators; kernel-operator grads via einsums."""
+    xf, sv, sh = res
+    g32 = g.astype(jnp.float32)
+    x32 = xf.astype(jnp.float32)
+    dx = _mm2_pallas_raw(g32, sv.T, sh.T, interpret, jnp.float32)
+    xsh = jnp.einsum("nhw,jw->nhj", x32, sh,
+                     precision=jax.lax.Precision.HIGHEST)
+    dsv = jnp.einsum("nij,nhj->ih", g32, xsh,
+                     precision=jax.lax.Precision.HIGHEST)
+    svx = jnp.einsum("ih,nhw->niw", sv, x32,
+                     precision=jax.lax.Precision.HIGHEST)
+    dsh = jnp.einsum("nij,niw->jw", g32, svx,
+                     precision=jax.lax.Precision.HIGHEST)
+    return dx.astype(xf.dtype), dsv, dsh
+
+
+_mm2_op.defvjp(_mm2_fwd, _mm2_bwd)
 
 
 @functools.partial(jax.jit,
@@ -228,17 +238,22 @@ def fused_separable_blur2d(x: jax.Array, kernel_y: jax.Array,
                            kernel_x: jax.Array,
                            border_type: str = "reflect",
                            interpret: bool = False,
-                           variant: str = "shift") -> jax.Array:
-    """Separable 2D correlation with both 1-D passes fused in one Pallas
-    kernel (ops/filters.py filter2d_separable semantics: pad like two
-    consecutive 'same' passes — pad-then-conv commutes across axes for
-    reflect/replicate/constant borders). ~1.6x the XLA two-pass path on a
-    v5e at (32, 3, 256, 256), k=5, at full f32 precision.
+                           variant: str = "mm2") -> jax.Array:
+    """Separable 2D correlation fully fused in one Pallas kernel
+    (ops/filters.py filter2d_separable semantics).
 
-    x (B, C, H, W); kernel_y (ky,), kernel_x (kx,). Padded image blocks
-    live in VMEM: intended for H, W <= ~768.
+    Default "mm2": both passes as MXU matmuls against banded border-aware
+    operator matrices — out = S_v . x . S_h^T, ONE HBM read + write per
+    pixel. Measured 414.9 GB/s on a v5e at (32, 3, 256, 256), k=5
+    (benchmarks/blur_probe.py), at FULL f32 precision, vs the XLA
+    two-pass path which lowers f32 convs to bf16 MXU multiplies (3.7e-3
+    max error on [0,1] images). Earlier sublane-shift variants measured
+    61-126 GB/s and were removed. "xla_mm2" runs the same banded-matmul
+    formulation without Pallas (portability fallback).
+
+    x (B, C, H, W); kernel_y (ky,), kernel_x (kx,). Image blocks live in
+    VMEM: intended for H, W <= ~768.
     """
-    from .filters import _PAD_MODES
     B, C, H, W = x.shape
     ky = kernel_y.shape[-1]
     kx = kernel_x.shape[-1]
@@ -253,72 +268,7 @@ def fused_separable_blur2d(x: jax.Array, kernel_y: jax.Array,
             out = jnp.einsum("niw,jw->nij", acc, sh,
                              precision=jax.lax.Precision.HIGHEST)
             return out.astype(x.dtype).reshape(B, C, H, W)
-        N = B * C
-        per_img = 3 * H * W * 4
-        fixed = (H * H + W * W) * 4
-        NB = 1
-        for cand in (8, 4, 2):
-            if N % cand == 0 and cand * per_img + fixed <= 6 * 1024 * 1024:
-                NB = cand
-                break
-        out = pl.pallas_call(
-            functools.partial(_blur_kernel_mm2, precision="float32"),
-            grid=(N // NB,),
-            in_specs=[
-                pl.BlockSpec((NB, H, W), lambda n: (n, 0, 0)),
-                pl.BlockSpec((H, H), lambda n: (0, 0)),
-                pl.BlockSpec((W, W), lambda n: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((NB, H, W), lambda n: (n, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((N, H, W), x.dtype),
-            interpret=interpret,
-        )(xf.astype(jnp.float32), sv, sh)
-        return out.reshape(B, C, H, W)
+        out = _mm2_op(xf, sv, sh, interpret)
+        return out.astype(x.dtype).reshape(B, C, H, W)
 
-    pads = [(0, 0), (ky // 2, (ky - 1) // 2), (kx // 2, (kx - 1) // 2)]
-    xp = jnp.pad(xf, pads, mode=_PAD_MODES[border_type])
-    N, Hp, Wp = xp.shape
-    wv = kernel_y.reshape(1, ky).astype(jnp.float32)
-    wh = kernel_x.reshape(1, kx).astype(jnp.float32)
-
-    # largest image-block that keeps (input + acc + out) under ~6 MB VMEM
-    per_img = (Hp * Wp + H * Wp + H * W) * 4
-    NB = 1
-    for cand in (8, 4, 2):
-        if N % cand == 0 and cand * per_img <= 6 * 1024 * 1024:
-            NB = cand
-            break
-
-    if variant == "matmul":
-        # banded horizontal operator: S[k + j, j] = wh[k]
-        sh = jnp.zeros((Wp, W), jnp.float32)
-        for k in range(kx):
-            sh = sh.at[jnp.arange(W) + k, jnp.arange(W)].add(wh[0, k])
-        out = pl.pallas_call(
-            functools.partial(_blur_kernel_mm, ky=ky, H=H),
-            grid=(N // NB,),
-            in_specs=[
-                pl.BlockSpec((NB, Hp, Wp), lambda n: (n, 0, 0)),
-                pl.BlockSpec((1, ky), lambda n: (0, 0)),
-                pl.BlockSpec((Wp, W), lambda n: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((NB, H, W), lambda n: (n, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((N, H, W), x.dtype),
-            interpret=interpret,
-        )(xp, wv, sh)
-        return out.reshape(B, C, H, W)
-
-    kern = {"shift": _blur_kernel, "transpose": _blur_kernel_t}[variant]
-    out = pl.pallas_call(
-        functools.partial(kern, ky=ky, kx=kx, H=H, W=W),
-        grid=(N // NB,),
-        in_specs=[
-            pl.BlockSpec((NB, Hp, Wp), lambda n: (n, 0, 0)),
-            pl.BlockSpec((1, ky), lambda n: (0, 0)),
-            pl.BlockSpec((1, kx), lambda n: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((NB, H, W), lambda n: (n, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, H, W), x.dtype),
-        interpret=interpret,
-    )(xp, wv, wh)
-    return out.reshape(B, C, H, W)
+    raise ValueError(f"unknown fused-blur variant: {variant!r}")

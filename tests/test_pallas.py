@@ -78,3 +78,29 @@ class TestFusedSeparableBlur:
         ours = fused_separable_blur2d(x, k, k, "reflect", interpret=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=1e-5)
+
+
+class TestFusedBlurGrad:
+    def test_custom_vjp_matches_xla_reference(self):
+        """Custom VJP (adjoint = same kernel with transposed band
+        operators): grads wrt image AND kernels match filter2d_separable."""
+        from kornia_tpu.ops.filters import (filter2d_separable,
+                                            get_gaussian_kernel1d)
+        from kornia_tpu.ops.pallas_kernels import fused_separable_blur2d
+        k = get_gaussian_kernel1d(5, 1.0)
+        x = jnp.asarray(np.random.default_rng(3).random((2, 3, 16, 16)),
+                        dtype=jnp.float32)
+
+        def loss(x, k):
+            return (fused_separable_blur2d(
+                x, k, k, "reflect", interpret=True) ** 2).sum()
+
+        def loss_ref(x, k):
+            return (filter2d_separable(x, k, k, "reflect") ** 2).sum()
+
+        gx, gk = jax.grad(loss, argnums=(0, 1))(x, k)
+        gxr, gkr = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gxr),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gk).reshape(-1),
+                                   np.asarray(gkr).reshape(-1), atol=1e-3)

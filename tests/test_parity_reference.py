@@ -113,13 +113,17 @@ class TestFilterParity:
 
     def test_motion_kernel(self):
         from kornia_tpu.ops.filters import get_motion_kernel2d
-        ours = np.asarray(get_motion_kernel2d(5, jnp.array([30.0])))
-        ref = kornia.filters.get_motion_kernel2d(
-            5, torch.tensor([30.0])).numpy()
-        # both are unit-mass oriented-line kernels; rotation resampling
-        # differs — compare by correlation
-        corr = (ours * ref).sum() / np.sqrt((ours**2).sum() * (ref**2).sum())
-        assert corr > 0.9
+        for ang, direc in [(30.0, 0.0), (20.0, 0.3), (-75.0, -0.8)]:
+            ours = np.asarray(get_motion_kernel2d(
+                5, jnp.array([ang]), jnp.array([direc])))
+            ref = kornia.filters.get_motion_kernel2d(
+                5, torch.tensor([ang]), torch.tensor([direc])).numpy()
+            np.testing.assert_allclose(ours, ref, atol=1e-5,
+                                       err_msg=f"angle={ang}")
+        # bilinear mode stays available and mass-normalized
+        kb = np.asarray(get_motion_kernel2d(5, jnp.array([30.0]),
+                                            mode="bilinear"))
+        np.testing.assert_allclose(kb.sum(), 1.0, atol=1e-5)
 
 
 class TestEnhanceParity:
