@@ -18,6 +18,7 @@ Layer map (mirrors SURVEY.md §1, all jit/vmap/grad-closed):
 
 __version__ = "0.1.0"
 
+from .config import KorniaTPUConfig, kornia_tpu_config
 from . import (
     augmentation,
     color,
@@ -45,7 +46,7 @@ __all__ = [
     "augmentation", "color", "contrib", "core", "enhance", "feature",
     "filters", "geometry", "image", "io", "losses", "metrics", "models",
     "morphology", "ops", "parallel", "sensors", "slam", "tracking", "utils",
-    "__version__",
+    "KorniaTPUConfig", "kornia_tpu_config", "__version__",
 ]
 
 # --- reference top-level surface (kornia/__init__.py re-exports) -------------

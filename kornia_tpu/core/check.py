@@ -31,26 +31,24 @@ __all__ = [
     "disable_checks",
 ]
 
-_CHECKS_ENABLED = os.environ.get("KORNIA_TPU_CHECK_DISABLED", "0") not in ("1", "true")
-
-
 def checks_enabled() -> bool:
-    return _CHECKS_ENABLED
+    from ..config import kornia_tpu_config
+    return kornia_tpu_config.checks_enabled
 
 
 def enable_checks() -> None:
-    global _CHECKS_ENABLED
-    _CHECKS_ENABLED = True
+    from ..config import kornia_tpu_config
+    kornia_tpu_config.checks_enabled = True
 
 
 def disable_checks() -> None:
-    global _CHECKS_ENABLED
-    _CHECKS_ENABLED = False
+    from ..config import kornia_tpu_config
+    kornia_tpu_config.checks_enabled = False
 
 
 def check(condition: bool, msg: str = "condition failed") -> None:
     """Trace-time assertion. ``condition`` must be a static Python bool."""
-    if _CHECKS_ENABLED and not condition:
+    if not condition and checks_enabled():
         raise ValueError(msg)
 
 
@@ -65,7 +63,7 @@ def check_shape(x: Any, pattern: Sequence[str], name: str = "tensor") -> None:
     integer literal like ``"3"``, or a symbol like ``"B"`` that must bind
     consistently within this call.
     """
-    if not _CHECKS_ENABLED:
+    if not checks_enabled():
         return
     shape = _shape_of(x)
     pat = list(pattern)
@@ -96,18 +94,18 @@ def check_shape(x: Any, pattern: Sequence[str], name: str = "tensor") -> None:
 
 
 def check_same_shape(a: Any, b: Any, msg: str = "") -> None:
-    if _CHECKS_ENABLED and tuple(a.shape) != tuple(b.shape):
+    if checks_enabled() and tuple(a.shape) != tuple(b.shape):
         raise ValueError(msg or f"shape mismatch: {tuple(a.shape)} vs {tuple(b.shape)}")
 
 
 def check_same_dtype(a: Any, b: Any, msg: str = "") -> None:
-    if _CHECKS_ENABLED and a.dtype != b.dtype:
+    if checks_enabled() and a.dtype != b.dtype:
         raise ValueError(msg or f"dtype mismatch: {a.dtype} vs {b.dtype}")
 
 
 def check_is_image(x: Any, name: str = "image") -> None:
     """(..., C, H, W) with float dtype."""
-    if not _CHECKS_ENABLED:
+    if not checks_enabled():
         return
     if x.ndim < 3:
         raise ValueError(f"{name}: expected at least 3 dims (..., C, H, W), got {x.shape}")
@@ -117,13 +115,13 @@ def check_is_image(x: Any, name: str = "image") -> None:
 
 def check_is_gray(x: Any, name: str = "image") -> None:
     check_is_image(x, name)
-    if _CHECKS_ENABLED and x.shape[-3] != 1:
+    if checks_enabled() and x.shape[-3] != 1:
         raise ValueError(f"{name}: expected 1 channel, got {x.shape[-3]}")
 
 
 def check_is_color(x: Any, name: str = "image") -> None:
     check_is_image(x, name)
-    if _CHECKS_ENABLED and x.shape[-3] != 3:
+    if checks_enabled() and x.shape[-3] != 3:
         raise ValueError(f"{name}: expected 3 channels, got {x.shape[-3]}")
 
 

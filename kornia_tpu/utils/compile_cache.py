@@ -30,10 +30,8 @@ def enable_compilation_cache(path: Optional[str] = None,
     if _enabled:
         return True
     if path is None:
-        path = os.environ.get(
-            "KORNIA_TPU_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "kornia_tpu",
-                         "xla"))
+        from ..config import kornia_tpu_config
+        path = kornia_tpu_config.compile_cache_dir
     try:
         os.makedirs(path, exist_ok=True)
         import jax
