@@ -45,9 +45,13 @@ def timed(fn, *args, reps=7):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--height", type=int, default=0)
+    ap.add_argument("--width", type=int, default=0)
     ap.add_argument("--features", type=int, default=512)
     args = ap.parse_args()
-    S, NF = args.size, args.features
+    H = args.height or args.size
+    W = args.width or args.size
+    NF = args.features
 
     from kornia_tpu.feature.integrated import SIFTFeature, LAFDescriptor
     from kornia_tpu.feature.laf import extract_patches_from_pyramid
@@ -58,15 +62,15 @@ def main():
     from kornia_tpu.ops.warp import warp_perspective
 
     key = jax.random.PRNGKey(0)
-    img0 = gaussian_blur2d(jax.random.uniform(key, (1, 1, S, S)), 3, 1.0)
+    img0 = gaussian_blur2d(jax.random.uniform(key, (1, 1, H, W)), 3, 1.0)
     M = jnp.eye(3).at[0, 2].set(-4.0)[None]
-    img1 = warp_perspective(img0, M, (S, S))
+    img1 = warp_perspective(img0, M, (H, W))
 
     feat = SIFTFeature(num_features=NF)
     det = feat.detector
     pyr = det.scale_pyr
 
-    print(f"== size={S} features={NF} device={jax.devices()[0]}", flush=True)
+    print(f"== size={H}x{W} features={NF} device={jax.devices()[0]}", flush=True)
 
     t = timed(lambda x: pyr(x)[0][-1], img0)
     print(f"scale_pyramid           {t*1e3:8.1f} ms", flush=True)
@@ -109,9 +113,9 @@ def main():
 
     # whole two-view pipeline, batch-scaled honest number
     from kornia_tpu.slam.twoview import _two_view_fn
-    K = jnp.array([[0.8 * S, 0.0, S / 2], [0.0, 0.8 * S, S / 2],
+    K = jnp.array([[0.8 * W, 0.0, W / 2], [0.0, 0.8 * W, H / 2],
                    [0.0, 0.0, 1.0]])
-    fn = _two_view_fn((1, 1, S, S), NF, 1024, 8, 0.95)
+    fn = _two_view_fn((1, 1, H, W), NF, 1024, 8, 0.95)
     t = timed(lambda a, b: fn(a, b, K, jax.random.PRNGKey(0), 1e-3),
               img0, img1)
     print(f"two_view_pose e2e       {t*1e3:8.1f} ms", flush=True)

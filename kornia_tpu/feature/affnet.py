@@ -107,6 +107,16 @@ def _convert_torch(state_dict, n_trunk: int = len(_TRUNK)) -> Dict:
     return params
 
 
+def load_orinet_torch_weights(state_dict) -> Dict:
+    """torch OriNet checkpoint (features.N.* layout) -> param dict."""
+    return _convert_torch(state_dict)
+
+
+def load_affnet_torch_weights(state_dict) -> Dict:
+    """torch AffNet checkpoint (features.N.* layout) -> param dict."""
+    return _convert_torch(state_dict)
+
+
 class OriNet:
     """Canonical patch orientation in radians, zero pointing right
     (reference: orientation.py:133). (B, 1, 32, 32) -> (B,)."""

@@ -280,8 +280,10 @@ class SDDH(nn.Module):
         agg = self.param("agg_weights", nn.initializers.lecun_normal(),
                          (P, C, C))
 
-        # ps x ps patch row-gather around each keypoint (get_patches:129)
-        corner = jnp.floor(kpts_wh - ps / 2 + 1).astype(jnp.int32)
+        # ps x ps patch row-gather around each keypoint (get_patches:129;
+        # the reference truncates the keypoint to int FIRST — aliked.py:690
+        # passes kptsi_wh.long() — then shifts by trunc(1 - ps/2))
+        corner = kpts_wh.astype(jnp.int32) - ps // 2
         cx = jnp.clip(corner[..., 0], 0, max(W - 1 - ps, 0))
         cy = jnp.clip(corner[..., 1], 0, max(H - 1 - ps, 0))
         dy = jnp.arange(ps)[:, None]
@@ -332,6 +334,72 @@ class _ALIKEDModel(nn.Module):
         if return_affine:
             return kps, sc, valid, desc, det[4]
         return kps, sc, valid, desc
+
+
+def load_torch_weights(state_dict, model_name: str = "aliked-n16") -> dict:
+    """Reference ALIKED checkpoint (aliked.py:742 _CHECKPOINT_URL layout)
+    -> flax variables for `_ALIKEDModel` / the `ALIKED` wrapper.
+
+    Torch modules map as: blockN.{conv1,bn1,conv2,bn2}(+downsample),
+    dcn convs as {offset_conv,regular_conv}, convN/score_head 1x1-3x3
+    chain, desc_head.{offset_conv.0/.2,sf_conv,agg_weights}
+    (aliked.py:520-836).
+    """
+    import numpy as np
+
+    def a(k):
+        v = state_dict[k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
+    def hwio(k):
+        return a(k).transpose(2, 3, 1, 0)
+
+    def conv_block(pre, dcn=False, downsample=False):
+        p, s = {}, {}
+        for i, cname in ((1, "conv1"), (2, "conv2")):
+            if dcn:
+                p[cname] = {
+                    "offset_conv": {
+                        "kernel": hwio(f"{pre}.{cname}.offset_conv.weight"),
+                        "bias": a(f"{pre}.{cname}.offset_conv.bias")},
+                    "kernel": a(f"{pre}.{cname}.regular_conv.weight"),
+                }
+            else:
+                p[cname] = {"kernel": hwio(f"{pre}.{cname}.weight")}
+            bname = f"BatchNorm_{i - 1}"
+            p[bname] = {"scale": a(f"{pre}.bn{i}.weight"),
+                        "bias": a(f"{pre}.bn{i}.bias")}
+            s[bname] = {"mean": a(f"{pre}.bn{i}.running_mean"),
+                        "var": a(f"{pre}.bn{i}.running_var")}
+        if downsample:
+            p["downsample"] = {"kernel": hwio(f"{pre}.downsample.weight"),
+                               "bias": a(f"{pre}.downsample.bias")}
+        return p, s
+
+    net_p, net_s = {}, {}
+    net_p["block1"], net_s["block1"] = conv_block("block1")
+    net_p["block2"], net_s["block2"] = conv_block("block2", downsample=True)
+    net_p["block3"], net_s["block3"] = conv_block("block3", dcn=True,
+                                                  downsample=True)
+    net_p["block4"], net_s["block4"] = conv_block("block4", dcn=True,
+                                                  downsample=True)
+    for i in range(1, 5):
+        net_p[f"conv{i}"] = {"kernel": hwio(f"conv{i}.weight")}
+    for i, idx in enumerate((0, 2, 4, 6)):
+        net_p[f"score{i + 1}"] = {"kernel": hwio(f"score_head.{idx}.weight")}
+
+    w2 = a("desc_head.offset_conv.2.weight")
+    desc_p = {
+        "offset_w1": hwio("desc_head.offset_conv.0.weight"),
+        "offset_b1": a("desc_head.offset_conv.0.bias"),
+        "offset_w2": w2[:, :, 0, 0].T,
+        "offset_b2": a("desc_head.offset_conv.2.bias"),
+        "sf_w": a("desc_head.sf_conv.weight")[:, :, 0, 0].T,
+        "agg_weights": a("desc_head.agg_weights"),
+    }
+    return {"params": {"net": net_p, "desc_head": desc_p},
+            "batch_stats": {"net": net_s}}
 
 
 class ALIKED:

@@ -34,95 +34,109 @@ from ..core.dtype import as_float
 from ..ops.warp import grid_sample
 
 __all__ = ["DeDoDe", "DeDoDeDetector", "DeDoDeDescriptor",
-           "DeDoDeDescriptorG", "sample_keypoints"]
+           "DeDoDeDescriptorG", "sample_keypoints",
+           "load_dedode_torch_weights", "load_dedode_detector_torch_weights",
+           "load_dedode_descriptor_b_torch_weights",
+           "load_dedode_descriptor_g_torch_weights"]
 
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-class _VGGBlock(nn.Module):
-    channels: int
-    n_convs: int = 2
-
-    @nn.compact
-    def __call__(self, x):
-        for _ in range(self.n_convs):
-            x = nn.relu(nn.Conv(self.channels, (3, 3))(x))
-        return x
+# vgg19_bn features[:40] conv indices per pyramid stage; feats are taken
+# BEFORE each MaxPool (encoder.py VGG19: "Maxpool layers: 6, 13, 26, 39")
+_VGG19_STAGES = (((0, 64), (3, 64)),
+                 ((7, 128), (10, 128)),
+                 ((14, 256), (17, 256), (20, 256), (23, 256)),
+                 ((27, 512), (30, 512), (33, 512), (36, 512)))
 
 
-class _VGGEncoder(nn.Module):
-    """VGG19-style pyramid (encoder.py VGG19): feats at strides 1/2/4/8."""
+class _VGG19BN(nn.Module):
+    """Exact torchvision vgg19_bn features[:40] pyramid (encoder.py VGG19):
+    conv3-BN-ReLU chains, feats collected before each 2x2 maxpool →
+    strides 1/2/4/8 at channels 64/128/256/512. Submodule names carry the
+    torch Sequential indices so checkpoints key directly."""
 
     @nn.compact
     def __call__(self, x):
         feats = []
-        for ch, n in ((64, 2), (128, 2), (256, 4), (512, 4)):
-            x = _VGGBlock(ch, n)(x)
+        for stage in _VGG19_STAGES:
+            for idx, ch in stage:
+                x = nn.Conv(ch, (3, 3), name=f"conv{idx}")(x)
+                x = nn.BatchNorm(use_running_average=True,
+                                 name=f"bn{idx + 1}")(x)
+                x = nn.relu(x)
             feats.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return feats  # strides 1, 2, 4, 8
 
 
-class _ConvRefiner(nn.Module):
-    """Residual conv stack emitting (context, logits) (decoder.py ConvRefiner)."""
-    hidden: int
-    out_context: int
-    out_logits: int
-    hidden_blocks: int = 3
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.relu(nn.GroupNorm(num_groups=8)(nn.Conv(self.hidden, (3, 3))(x)))
-        for _ in range(self.hidden_blocks):
-            y = nn.relu(nn.GroupNorm(num_groups=8)(nn.Conv(self.hidden, (3, 3))(x)))
-            x = x + nn.Conv(self.hidden, (3, 3))(y)
-        out = nn.Conv(self.out_context + self.out_logits, (1, 1))(x)
-        return out[..., :self.out_context], out[..., self.out_context:]
+def _upsample(t: jax.Array, hw, mode: str) -> jax.Array:
+    """torch F.interpolate(align_corners=False) semantics on NHWC."""
+    if mode == "bilinear":
+        return jax.image.resize(t, (t.shape[0], *hw, t.shape[-1]), "bilinear")
+    from ..ops.warp import resize
+    nchw = jnp.transpose(t, (0, 3, 1, 2))
+    return jnp.transpose(resize(nchw, tuple(hw), "bicubic",
+                                align_corners=False), (0, 2, 3, 1))
 
 
-class _Decoder(nn.Module):
-    """Coarse-to-fine refinement over the pyramid (decoder.py Decoder):
-    at each stride, refine [feat, upsampled context], accumulate upsampled
-    logits, finish at stride 1."""
-    out_logits: int
-
-    @nn.compact
-    def __call__(self, feats):
-        hidden = {8: 512, 4: 256, 2: 128, 1: 64}
-        context = {8: 256, 4: 128, 2: 64, 1: 0}
-        logits = None
-        ctx = None
-        for i, stride in enumerate((8, 4, 2, 1)):
-            feat = feats[3 - i]
-            inp = feat if ctx is None else jnp.concatenate([feat, ctx], -1)
-            ctx, new_logits = _ConvRefiner(
-                hidden[stride], context[stride], self.out_logits)(inp)
-            logits = new_logits if logits is None else logits + new_logits
-            if stride > 1:
-                B, h, w, _ = feat.shape
-                up = lambda t: jax.image.resize(
-                    t, (B, 2 * h, 2 * w, t.shape[-1]), "bilinear")
-                ctx = up(ctx) if context[stride] else None
-                logits = up(logits)
-        return logits  # (B, H, W, out_logits)
+# per-scale (hidden, ctx_out, hidden_blocks) of the reference conv_refiner
+# ModuleDicts (dedode_models.py:27 detector L, :79 descriptor B)
+_DET_L_WALK = ((8, 512, 256, 8), (4, 256, 128, 8), (2, 128, 64, 8),
+               (1, 64, 1, 8))
+_DESC_B_WALK = ((8, 512, 256, 5), (4, 256, 128, 5), (2, 64, 32, 5),
+                (1, 32, 1, 5))
 
 
 class DeDoDeDetector(nn.Module):
-    """Keypoint-logit head (dedode_models.py dedode_detector_L)."""
+    """Keypoint-logit head, reference-exact (dedode_models.py:27
+    dedode_detector_L): VGG19-bn pyramid + per-scale ConvRefiner walk with
+    num_prototypes=1; logits upsample bicubic, context bilinear
+    (detector.py:56-66)."""
 
     @nn.compact
     def __call__(self, x):
-        return _Decoder(out_logits=1)(_VGGEncoder()(x))[..., 0]  # (B, H, W)
+        feats = _VGG19BN(name="vgg")(x)
+        logits = None
+        ctx = None
+        for i, (scale, hidden, ctx_out, blocks) in enumerate(_DET_L_WALK):
+            feat = feats[3 - i]
+            inp = feat if ctx is None else jnp.concatenate([feat, ctx], -1)
+            new_logits, ctx = _ConvRefinerG(
+                hidden, 1, ctx_out, hidden_blocks=blocks,
+                name=f"r{scale}")(inp)
+            logits = new_logits if logits is None else logits + new_logits
+            if scale > 1:
+                hw = feats[3 - i - 1].shape[1:3]
+                logits = _upsample(logits, hw, "bicubic")
+                ctx = _upsample(ctx, hw, "bilinear")
+        return logits[..., 0]  # (B, H, W)
 
 
 class DeDoDeDescriptor(nn.Module):
-    """Dense-descriptor head (dedode_models.py dedode_descriptor_B)."""
+    """Dense-descriptor head, reference-exact (dedode_models.py:79
+    dedode_descriptor_B): num_prototypes=256, bilinear upsampling
+    (descriptor.py:56-65)."""
     desc_dim: int = 256
 
     @nn.compact
     def __call__(self, x):
-        return _Decoder(out_logits=self.desc_dim)(_VGGEncoder()(x))
+        feats = _VGG19BN(name="vgg")(x)
+        desc = None
+        ctx = None
+        for i, (scale, hidden, ctx_out, blocks) in enumerate(_DESC_B_WALK):
+            feat = feats[3 - i]
+            inp = feat if ctx is None else jnp.concatenate([feat, ctx], -1)
+            logits, ctx = _ConvRefinerG(
+                hidden, self.desc_dim, ctx_out, hidden_blocks=blocks,
+                name=f"r{scale}")(inp)
+            desc = logits if desc is None else desc + logits
+            if scale > 1:
+                hw = feats[3 - i - 1].shape[1:3]
+                desc = _upsample(desc, hw, "bilinear")
+                ctx = _upsample(ctx, hw, "bilinear")
+        return desc
 
 
 class _RefBlockG(nn.Module):
@@ -179,7 +193,7 @@ class DeDoDeDescriptorG(nn.Module):
         vit = DinoV2ViT(**cfg, name="dinov2")
         tokens = vit(x)  # (B, H/14, W/14, D_vit)
         tokens = jax.lax.stop_gradient(tokens)  # frozen backbone
-        feats = _VGGEncoder(name="vgg")(x)  # strides 1, 2, 4, 8
+        feats = _VGG19BN(name="vgg")(x)  # strides 1, 2, 4, 8
         B, H, W, _ = x.shape
         # (feature, hidden, ctx_out) per scale, reference channel counts
         walk = [
@@ -203,6 +217,107 @@ class DeDoDeDescriptorG(nn.Module):
                 desc = up(desc)
                 ctx = up(ctx)
         return desc  # (B, H, W, desc_dim)
+
+
+def _np(v):
+    import numpy as np
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+
+def _conv_kernel(v):
+    """torch OIHW (grouped or dense) -> flax HWIO with in/groups axis."""
+    return _np(v).transpose(2, 3, 1, 0)
+
+
+def _convert_refiner(sd, pre: str, blocks: int):
+    """torch ConvRefiner state dict (decoder.py:64) -> flax _ConvRefinerG
+    (params, batch_stats) subtrees."""
+    def block(bpre):
+        p = {
+            "conv1": {"kernel": _conv_kernel(sd[f"{bpre}.0.weight"]),
+                      "bias": _np(sd[f"{bpre}.0.bias"])},
+            "bn": {"scale": _np(sd[f"{bpre}.1.weight"]),
+                   "bias": _np(sd[f"{bpre}.1.bias"])},
+            "conv2": {"kernel": _conv_kernel(sd[f"{bpre}.3.weight"]),
+                      "bias": _np(sd[f"{bpre}.3.bias"])},
+        }
+        s = {"bn": {"mean": _np(sd[f"{bpre}.1.running_mean"]),
+                    "var": _np(sd[f"{bpre}.1.running_var"])}}
+        return p, s
+
+    params, stats = {}, {}
+    params["block1"], stats["block1"] = block(f"{pre}.block1")
+    for i in range(blocks):
+        params[f"hidden{i}"], stats[f"hidden{i}"] = block(
+            f"{pre}.hidden_blocks.{i}")
+    params["out_conv"] = {"kernel": _conv_kernel(sd[f"{pre}.out_conv.weight"]),
+                          "bias": _np(sd[f"{pre}.out_conv.bias"])}
+    return params, stats
+
+
+def _convert_vgg(sd, pre: str):
+    """torch vgg19_bn features[:40] keys -> flax _VGG19BN subtrees."""
+    params, stats = {}, {}
+    for stage in _VGG19_STAGES:
+        for idx, _ch in stage:
+            params[f"conv{idx}"] = {
+                "kernel": _conv_kernel(sd[f"{pre}.{idx}.weight"]),
+                "bias": _np(sd[f"{pre}.{idx}.bias"])}
+            params[f"bn{idx + 1}"] = {
+                "scale": _np(sd[f"{pre}.{idx + 1}.weight"]),
+                "bias": _np(sd[f"{pre}.{idx + 1}.bias"])}
+            stats[f"bn{idx + 1}"] = {
+                "mean": _np(sd[f"{pre}.{idx + 1}.running_mean"]),
+                "var": _np(sd[f"{pre}.{idx + 1}.running_var"])}
+    return params, stats
+
+
+def load_dedode_torch_weights(state_dict, head: str = "detector"):
+    """Reference DeDoDe checkpoint -> flax variables for the matching head.
+
+    head: "detector" (dedode_detector_L), "descriptor_b", or
+    "descriptor_g" (refiners + VGG; pass the DINOv2 backbone separately
+    via `dinov2_state_dict` — the reference also distributes it as a
+    separate artifact, encoder.py:80).
+    """
+    walks = {"detector": (_DET_L_WALK, "encoder.layers"),
+             "descriptor_b": (_DESC_B_WALK, "encoder.layers"),
+             "descriptor_g": (None, "encoder.vgg.layers")}
+    if head not in walks:
+        raise KeyError(f"unknown DeDoDe head {head!r}")
+    walk, vgg_pre = walks[head]
+    if walk is None:  # G: scales 14/8/4/2/1, 5 hidden blocks each
+        walk = ((14, 768, 512, 5), (8, 512, 256, 5), (4, 256, 128, 5),
+                (2, 64, 32, 5), (1, 32, 1, 5))
+    params, stats = {}, {}
+    params["vgg"], stats["vgg"] = _convert_vgg(state_dict, vgg_pre)
+    for scale, _h, _c, blocks in walk:
+        p, s = _convert_refiner(state_dict, f"decoder.layers.{scale}",
+                                blocks)
+        params[f"r{scale}"], stats[f"r{scale}"] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
+def load_dedode_detector_torch_weights(state_dict):
+    """dedode_detector_L checkpoint -> DeDoDeDetector variables."""
+    return load_dedode_torch_weights(state_dict, "detector")
+
+
+def load_dedode_descriptor_b_torch_weights(state_dict):
+    """dedode_descriptor_B checkpoint -> DeDoDeDescriptor variables."""
+    return load_dedode_torch_weights(state_dict, "descriptor_b")
+
+
+def load_dedode_descriptor_g_torch_weights(state_dict,
+                                           dinov2_state_dict=None):
+    """dedode_descriptor_G checkpoint (+ optional DINOv2 backbone state
+    dict) -> DeDoDeDescriptorG variables."""
+    out = load_dedode_torch_weights(state_dict, "descriptor_g")
+    if dinov2_state_dict is not None:
+        from .dinov2 import load_dinov2_torch_weights
+        out["params"]["dinov2"] = load_dinov2_torch_weights(
+            dinov2_state_dict)["params"]
+    return out
 
 
 def sample_keypoints(scoremap: jax.Array, num_samples: int = 2048,

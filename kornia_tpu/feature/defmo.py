@@ -52,7 +52,10 @@ class _Bottleneck(nn.Module):
         out_ch = self.planes * 4
         idn = x
         y = nn.relu(_bn(nn.Conv(self.planes, (1, 1), use_bias=False)(x)))
+        # explicit symmetric padding: flax SAME pads asymmetrically under
+        # stride 2, torch Conv2d(padding=1) does not
         y = nn.relu(_bn(nn.Conv(self.planes, (3, 3), strides=self.stride,
+                                padding=((1, 1), (1, 1)),
                                 use_bias=False)(y)))
         y = _bn(nn.Conv(out_ch, (1, 1), use_bias=False)(y))
         if x.shape[-1] != out_ch or self.stride != 1:
@@ -71,7 +74,8 @@ class EncoderDeFMO(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(_bn(nn.Conv(64, (7, 7), strides=2, use_bias=False,
+        x = nn.relu(_bn(nn.Conv(64, (7, 7), strides=2,
+                                padding=((3, 3), (3, 3)), use_bias=False,
                                 name="stem")(x)))
         for i, (planes, n, stride) in enumerate(
                 zip((64, 128, 256, 512), self.layers, (1, 2, 2, 2))):
@@ -123,7 +127,69 @@ class _DeFMOModel(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return RenderingDeFMO(self.tsr_steps)(EncoderDeFMO()(x))
+        return RenderingDeFMO(self.tsr_steps, name="rendering")(
+            EncoderDeFMO(name="encoder")(x))
+
+
+def load_torch_weights(state_dict) -> dict:
+    """Reference DeFMO checkpoint(s) -> flax variables for `_DeFMOModel`.
+
+    Accepts the combined DeFMO state dict (keys `encoder.net.*` +
+    `rendering.net.*`, defmo.py:390) or either standalone artifact
+    (`net.*` keys from urls defmo_encoder / defmo_rendering) merged by the
+    caller. Torch layout: encoder.net.0 = [conv7, bn, relu] stem,
+    encoder.net.1.{0..3} = ResNet50 layers; rendering.net Sequential
+    indices 0/1 conv+bn, 3/5/7 bottlenecks, 9/11/13 convs (defmo.py:303).
+    """
+    import numpy as np
+
+    def a(k):
+        v = state_dict[k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
+    def conv(k, bias=False):
+        out = {"kernel": a(f"{k}.weight").transpose(2, 3, 1, 0)}
+        if bias:
+            out["bias"] = a(f"{k}.bias")
+        return out
+
+    def bn(k):
+        return ({"scale": a(f"{k}.weight"), "bias": a(f"{k}.bias")},
+                {"mean": a(f"{k}.running_mean"),
+                 "var": a(f"{k}.running_var")})
+
+    def bottleneck(pre, downsample):
+        p, s = {}, {}
+        for i in (1, 2, 3):
+            p[f"Conv_{i - 1}"] = conv(f"{pre}.conv{i}")
+            p[f"BatchNorm_{i - 1}"], s[f"BatchNorm_{i - 1}"] = bn(
+                f"{pre}.bn{i}")
+        if downsample:
+            p["downsample"] = conv(f"{pre}.downsample.0")
+            p["BatchNorm_3"], s["BatchNorm_3"] = bn(f"{pre}.downsample.1")
+        return p, s
+
+    enc_p, enc_s = {}, {}
+    enc_p["stem"] = conv("encoder.net.0.0")
+    enc_p["BatchNorm_0"], enc_s["BatchNorm_0"] = bn("encoder.net.0.1")
+    for li, n in enumerate((3, 4, 6, 3)):
+        for b in range(n):
+            name = f"layer{li + 1}_{b}"
+            enc_p[name], enc_s[name] = bottleneck(
+                f"encoder.net.1.{li}.{b}", downsample=(b == 0))
+    ren_p, ren_s = {}, {}
+    ren_p["Conv_0"] = conv("rendering.net.0")
+    ren_p["BatchNorm_0"], ren_s["BatchNorm_0"] = bn("rendering.net.1")
+    for i, idx in enumerate((3, 5, 7)):
+        name = f"_Bottleneck_{i}"
+        ren_p[name], ren_s[name] = bottleneck(f"rendering.net.{idx}",
+                                              downsample=False)
+    ren_p["Conv_1"] = conv("rendering.net.9")
+    ren_p["Conv_2"] = conv("rendering.net.11", bias=True)
+    ren_p["Conv_3"] = conv("rendering.net.13", bias=True)
+    return {"params": {"encoder": enc_p, "rendering": ren_p},
+            "batch_stats": {"encoder": enc_s, "rendering": ren_s}}
 
 
 class DeFMO:

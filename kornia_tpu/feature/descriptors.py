@@ -485,6 +485,26 @@ class KeyNet:
         return out
 
 
+def load_tfeat_torch_weights(state_dict) -> Dict[str, jax.Array]:
+    """torch TFeat checkpoint -> TFeat param dict (layout-checked)."""
+    return _convert_torch(state_dict, TFeat._SPECS)
+
+
+def load_sosnet_torch_weights(state_dict) -> Dict[str, jax.Array]:
+    """torch SOSNet checkpoint -> SOSNet param dict (layout-checked)."""
+    return _convert_torch(state_dict, SOSNet._specs())
+
+
+def load_hynet_torch_weights(state_dict) -> Dict[str, jax.Array]:
+    """torch HyNet checkpoint -> HyNet param dict (layout-checked)."""
+    return _convert_torch(state_dict, HyNet._specs())
+
+
+def load_keynet_torch_weights(state_dict) -> Dict[str, jax.Array]:
+    """torch Key.Net checkpoint -> KeyNet param dict (layout-checked)."""
+    return _convert_torch(state_dict, KeyNet._specs())
+
+
 class DiscreteSteerer:
     """Rotation-steerable descriptor transform (reference:
     feature/steerers.py:25): desc' = G @ desc for a learned generator G."""

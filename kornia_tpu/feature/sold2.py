@@ -43,43 +43,72 @@ __all__ = ["SOLD2Net", "SOLD2_detector", "SOLD2", "detect_line_segments",
 # backbone (flax, NHWC internally)
 # ---------------------------------------------------------------------------
 
+def _tbn(name: str):
+    return nn.BatchNorm(use_running_average=True, name=name)
+
+
 class _Bottleneck(nn.Module):
-    """Pre-activation bottleneck residual block (backbones.py:120)."""
+    """Pre-activation bottleneck, reference-exact (backbones.py:120
+    Bottleneck2D): bn-relu-conv1x1 / bn-relu-conv3x3 / bn-relu-conv1x1 with
+    an optional 1x1 downsample skip; expansion 2."""
     planes: int
+    downsample: bool = False
 
     @nn.compact
     def __call__(self, x):
         out_ch = 2 * self.planes
-        y = nn.relu(nn.GroupNorm(num_groups=8)(x))
-        y = nn.Conv(self.planes, (1, 1))(y)
-        y = nn.relu(nn.GroupNorm(num_groups=8)(y))
-        y = nn.Conv(self.planes, (3, 3))(y)
-        y = nn.relu(nn.GroupNorm(num_groups=8)(y))
-        y = nn.Conv(out_ch, (1, 1))(y)
-        if x.shape[-1] != out_ch:
-            x = nn.Conv(out_ch, (1, 1))(x)
-        return x + y
+        y = nn.relu(_tbn("bn1")(x))
+        y = nn.Conv(self.planes, (1, 1), name="conv1")(y)
+        y = nn.relu(_tbn("bn2")(y))
+        y = nn.Conv(self.planes, (3, 3), name="conv2")(y)
+        y = nn.relu(_tbn("bn3")(y))
+        y = nn.Conv(out_ch, (1, 1), name="conv3")(y)
+        idn = x
+        if self.downsample:
+            idn = nn.Conv(out_ch, (1, 1), name="downsample")(x)
+        return y + idn
 
 
 class _Hourglass(nn.Module):
-    """Recursive hourglass (backbones.py:178): pool -> recurse -> upsample."""
+    """Recursive hourglass, reference-exact (backbones.py:178 Hourglass):
+    per level three (plus one innermost) bottleneck chains; nearest-neighbor
+    upsample to the skip branch's size. Submodule names carry the torch
+    `hg.{level}.{slot}` indices."""
     planes: int
     depth: int = 4
 
     @nn.compact
     def __call__(self, x):
-        up1 = _Bottleneck(self.planes)(x)
-        low = nn.max_pool(x, (2, 2), strides=(2, 2))
-        low = _Bottleneck(self.planes)(low)
-        if self.depth > 1:
-            low = _Hourglass(self.planes, self.depth - 1)(low)
-        else:
-            low = _Bottleneck(self.planes)(low)
-        low = _Bottleneck(self.planes)(low)
-        # resize to the skip branch's exact shape so odd intermediate sizes
-        # (input not divisible by 2^depth at this level) still line up
-        up2 = jax.image.resize(low, up1.shape, "nearest")
-        return up1 + up2
+        def block(level, slot):
+            return _Bottleneck(self.planes, name=f"hg{level}_{slot}")
+
+        def walk(n, x):
+            up1 = block(n - 1, 0)(x)
+            low = nn.max_pool(x, (2, 2), strides=(2, 2))
+            low = block(n - 1, 1)(low)
+            low = walk(n - 1, low) if n > 1 else block(n - 1, 3)(low)
+            low = block(n - 1, 2)(low)
+            # resize to the skip branch's exact shape so odd intermediate
+            # sizes still line up (torch F.interpolate default = nearest)
+            up2 = jax.image.resize(low, up1.shape, "nearest")
+            return up1 + up2
+
+        return walk(self.depth, x)
+
+
+class _MultitaskHead(nn.Module):
+    """Three conv3-relu-conv1 heads with outputs [2, 1, 2] concatenated
+    (backbones.py:83 MultitaskHead)."""
+    in_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        for j, out_ch in enumerate((2, 1, 2)):
+            h = nn.relu(nn.Conv(self.in_channels // 4, (3, 3),
+                                name=f"head{j}_0")(x))
+            outs.append(nn.Conv(out_ch, (1, 1), name=f"head{j}_2")(h))
+        return jnp.concatenate(outs, axis=-1)
 
 
 def _pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
@@ -93,46 +122,72 @@ def _pixel_shuffle(x: jax.Array, r: int) -> jax.Array:
 
 
 class SOLD2Net(nn.Module):
-    """Hourglass backbone + junction / heatmap / descriptor heads
-    (backbones.py:522). Input (B, H, W, 1) NHWC; H, W divisible by 16."""
+    """Reference-exact SOLD2 network (backbones.py:522 SOLD2Net): stacked
+    hourglass backbone (input_channel 1, depth 4, num_stacks 2,
+    num_blocks 1, structures.py:72 BackboneCfg) + SuperPoint junction
+    decoder, pixel-shuffle heatmap decoder, and semi-dense descriptor head.
+    Input (B, H, W, 1) NHWC; H, W divisible by 16. Softmaxes are applied
+    here (the reference applies them in sold2.py:110)."""
     grid_size: int = 8
-    feat_dim: int = 128
+    depth: int = 4
+    num_stacks: int = 2
     desc_dim: int = 128
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jax.Array]:
-        # stem: H -> H/4 (backbones.py:244 HourglassNet)
-        y = nn.Conv(64, (7, 7), strides=(2, 2))(x)
-        y = nn.relu(nn.GroupNorm(num_groups=8)(y))
-        y = _Bottleneck(32)(y)
+        # stem: H -> H/4 (backbones.py:244 HourglassNet; inplanes 64,
+        # num_feats 128, expansion 2)
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    name="conv1")(x)
+        y = nn.relu(_tbn("bn1")(y))
+        y = _Bottleneck(64, downsample=True, name="layer1")(y)
         y = nn.max_pool(y, (2, 2), strides=(2, 2))
-        y = _Bottleneck(64)(y)
-        y = _Hourglass(64, depth=4)(y)
-        feat = nn.relu(nn.GroupNorm(num_groups=8)(nn.Conv(self.feat_dim, (1, 1))(y)))
+        y = _Bottleneck(128, downsample=True, name="layer2")(y)
+        y = _Bottleneck(128, name="layer3")(y)
+
+        # stacked hourglasses with intermediate supervision re-injection
+        # (backbones.py:310 HourglassNet.forward)
+        feat = y
+        for i in range(self.num_stacks):
+            h = _Hourglass(128, self.depth, name=f"hg{i}")(y)
+            h = _Bottleneck(128, name=f"res{i}")(h)
+            h = nn.Conv(256, (1, 1), name=f"fc{i}_conv")(h)
+            h = nn.relu(_tbn(f"fc{i}_bn")(h))
+            score = _MultitaskHead(256, name=f"score{i}")(h)
+            feat = h
+            if i < self.num_stacks - 1:
+                fc_ = nn.Conv(256, (1, 1), name=f"fc_{i}")(h)
+                score_ = nn.Conv(256, (1, 1), name=f"score_{i}")(score)
+                y = y + fc_ + score_
 
         g2 = self.grid_size * self.grid_size
         # junction head (backbones.py:362 SuperpointDecoder): stride-2 conv
         # to H/8, logits over grid_size^2 cells + dustbin, softmax,
         # pixel-shuffle back to full res.
-        j = nn.relu(nn.Conv(256, (3, 3), strides=(2, 2))(feat))
-        j_logits = nn.Conv(g2 + 1, (1, 1))(j)
+        j = nn.relu(nn.Conv(256, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)),
+                            name="junc_convPa")(feat))
+        j_logits = nn.Conv(g2 + 1, (1, 1), name="junc_convPb")(j)
         j_prob = jax.nn.softmax(j_logits, axis=-1)[..., :g2]
-        junctions = _pixel_shuffle(j_prob, self.grid_size)[..., 0]  # (B, H, W)
+        junctions = _pixel_shuffle(j_prob, self.grid_size)[..., 0]  # (B,H,W)
 
-        # line heatmap head (backbones.py:403 PixelShuffleDecoder, 2 ups)
-        h = nn.relu(nn.Conv(256, (3, 3))(feat))
-        h = _pixel_shuffle(nn.Conv(64 * 4, (3, 3))(h), 2)
-        h = nn.relu(h)
-        h = _pixel_shuffle(nn.Conv(16 * 4, (3, 3))(h), 2)
-        h = nn.relu(h)
-        h_logits = nn.Conv(2, (1, 1))(h)
+        # line heatmap head (backbones.py:403 PixelShuffleDecoder, 2 ups:
+        # conv-BN-relu, shuffle, conv-BN-relu, shuffle, 1x1 out)
+        h = nn.Conv(256, (3, 3), name="heat_conv0")(feat)
+        h = nn.relu(_tbn("heat_bn0")(h))
+        h = _pixel_shuffle(h, 2)
+        h = nn.Conv(64, (3, 3), name="heat_conv1")(h)
+        h = nn.relu(_tbn("heat_bn1")(h))
+        h = _pixel_shuffle(h, 2)
+        h_logits = nn.Conv(2, (1, 1), name="heat_out")(h)
         heatmap = jax.nn.softmax(h_logits, axis=-1)[..., 1]  # (B, H, W)
 
         # descriptor head (backbones.py:483): semi-dense at H/4
-        d = nn.relu(nn.Conv(256, (3, 3))(feat))
-        desc = nn.Conv(self.desc_dim, (1, 1))(d)  # (B, H/4, W/4, D)
+        d = nn.relu(nn.Conv(256, (3, 3), name="desc_convPa")(feat))
+        desc = nn.Conv(self.desc_dim, (1, 1), name="desc_convPb")(d)
 
-        return {"junctions": junctions, "heatmap": heatmap, "dense_desc": desc}
+        return {"junctions": junctions, "heatmap": heatmap,
+                "dense_desc": desc}
 
 
 # ---------------------------------------------------------------------------
@@ -401,6 +456,92 @@ def adjacency_to_segments(junctions: jax.Array, adjacency: jax.Array,
 # ---------------------------------------------------------------------------
 # modules
 # ---------------------------------------------------------------------------
+
+def load_torch_weights(state_dict, num_stacks: int = 2, depth: int = 4
+                       ) -> dict:
+    """Reference SOLD2Net state dict (post `adapt_state_dict`,
+    sold2.py:141) -> flax variables for our SOLD2Net.
+
+    Torch layout: backbone_net.net.{conv1,bn1,layer1-3,hg,res,fc,score,
+    fc_,score_} + junction/heatmap/descriptor decoders
+    (backbones.py:244-522).
+    """
+    import numpy as np
+
+    def a(k):
+        v = state_dict[k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
+    def conv(k):
+        return {"kernel": a(f"{k}.weight").transpose(2, 3, 1, 0),
+                "bias": a(f"{k}.bias")}
+
+    def bn(k):
+        return ({"scale": a(f"{k}.weight"), "bias": a(f"{k}.bias")},
+                {"mean": a(f"{k}.running_mean"),
+                 "var": a(f"{k}.running_var")})
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put_bn(name, key):
+        params[name], stats[name] = bn(key)
+
+    def bottleneck(name, pre, downsample=False):
+        p, s = {}, {}
+        for i in (1, 2, 3):
+            p[f"conv{i}"] = conv(f"{pre}.conv{i}")
+            p[f"bn{i}"], s[f"bn{i}"] = bn(f"{pre}.bn{i}")
+        if downsample:
+            p["downsample"] = conv(f"{pre}.downsample.0")
+        params[name] = p
+        stats[name] = s
+
+    net = "backbone_net.net"
+    params["conv1"] = conv(f"{net}.conv1")
+    put_bn("bn1", f"{net}.bn1")
+    bottleneck("layer1", f"{net}.layer1.0", downsample=True)
+    bottleneck("layer2", f"{net}.layer2.0", downsample=True)
+    bottleneck("layer3", f"{net}.layer3.0")
+    for i in range(num_stacks):
+        hg_p: dict = {}
+        hg_s: dict = {}
+        for level in range(depth):
+            slots = (0, 1, 2, 3) if level == 0 else (0, 1, 2)
+            for k in slots:
+                sub_p, sub_s = {}, {}
+                pre = f"{net}.hg.{i}.hg.{level}.{k}.0"
+                for j in (1, 2, 3):
+                    sub_p[f"conv{j}"] = conv(f"{pre}.conv{j}")
+                    sub_p[f"bn{j}"], sub_s[f"bn{j}"] = bn(f"{pre}.bn{j}")
+                hg_p[f"hg{level}_{k}"] = sub_p
+                hg_s[f"hg{level}_{k}"] = sub_s
+        params[f"hg{i}"] = hg_p
+        stats[f"hg{i}"] = hg_s
+        bottleneck(f"res{i}", f"{net}.res.{i}.0")
+        params[f"fc{i}_conv"] = conv(f"{net}.fc.{i}.0")
+        put_bn(f"fc{i}_bn", f"{net}.fc.{i}.1")
+        head_p = {}
+        for j in range(3):
+            head_p[f"head{j}_0"] = conv(f"{net}.score.{i}.heads.{j}.0")
+            head_p[f"head{j}_2"] = conv(f"{net}.score.{i}.heads.{j}.2")
+        params[f"score{i}"] = head_p
+        if i < num_stacks - 1:
+            params[f"fc_{i}"] = conv(f"{net}.fc_.{i}")
+            params[f"score_{i}"] = conv(f"{net}.score_.{i}")
+
+    params["junc_convPa"] = conv("junction_decoder.convPa")
+    params["junc_convPb"] = conv("junction_decoder.convPb")
+    params["heat_conv0"] = conv("heatmap_decoder.conv_block_lst.0.0")
+    put_bn("heat_bn0", "heatmap_decoder.conv_block_lst.0.1")
+    params["heat_conv1"] = conv("heatmap_decoder.conv_block_lst.1.0")
+    put_bn("heat_bn1", "heatmap_decoder.conv_block_lst.1.1")
+    params["heat_out"] = conv("heatmap_decoder.conv_block_lst.2.0")
+    params["desc_convPa"] = conv("descriptor_decoder.convPa")
+    params["desc_convPb"] = conv("descriptor_decoder.convPb")
+    return {"params": params, "batch_stats": stats}
+
 
 class SOLD2_detector:
     """Line segment detector (sold2_detector.py:36). Call with (B, 1, H, W);

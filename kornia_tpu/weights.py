@@ -135,9 +135,65 @@ MANIFEST: Dict[str, WeightPort] = {
         "kornia_tpu.feature.dinov2:load_dinov2_torch_weights",
         "patch_embed.*, blocks.{0..}.{attn,mlp,ls1,ls2,norm*}",
         "DINOv2 ViT-L/14 (DeDoDe-G backbone, feature/dedode)"),
+    "aliked": WeightPort(
+        "kornia_tpu.feature.aliked:load_torch_weights",
+        "block1-4.{conv,bn,offset/regular_conv}, convN, score_head, "
+        "desc_head SDDH (aliked.py:742 checkpoint layout)",
+        "ALIKED official checkpoints (Shiaoming/ALIKED models/*.pth)"),
+    "sold2": WeightPort(
+        "kornia_tpu.feature.sold2:load_torch_weights",
+        "backbone_net.net.* stacked hourglass + junction/heatmap/"
+        "descriptor decoders (post adapt_state_dict, sold2.py:141)",
+        "kornia SOLD2 wireframe checkpoint"),
+    "dedode_detector": WeightPort(
+        "kornia_tpu.feature.dedode:load_dedode_detector_torch_weights",
+        "encoder.layers.* (vgg19_bn[:40]) + decoder.layers.{8,4,2,1}.* "
+        "ConvRefiners (dedode_models.py:27 detector L)",
+        "DeDoDe detector-L checkpoint"),
+    "dedode_descriptor_b": WeightPort(
+        "kornia_tpu.feature.dedode:load_dedode_descriptor_b_torch_weights",
+        "encoder.layers.* + decoder.layers.{8,4,2,1}.* "
+        "(dedode_models.py:79 descriptor B)",
+        "DeDoDe descriptor-B checkpoint"),
+    "dedode_descriptor_g": WeightPort(
+        "kornia_tpu.feature.dedode:load_dedode_descriptor_g_torch_weights",
+        "encoder.vgg.layers.* + decoder.layers.{14,8,4,2,1}.* "
+        "(dedode_models.py:131 descriptor G); DINOv2 backbone ports "
+        "separately via 'dinov2'",
+        "DeDoDe descriptor-G checkpoint (+ dinov2_vitl14_pretrain.pth)"),
+    "defmo": WeightPort(
+        "kornia_tpu.feature.defmo:load_torch_weights",
+        "encoder.net.* (6-ch ResNet50) + rendering.net.* pixel-shuffle "
+        "decoder (defmo.py:270-390)",
+        "kornia DeFMO encoder+rendering checkpoints (merged with "
+        "encoder./rendering. prefixes)"),
+    "tfeat": WeightPort(
+        "kornia_tpu.feature.descriptors:load_tfeat_torch_weights",
+        "features.{1,4}.*, descr.0.* (tfeat.py:31)",
+        "kornia TFeat checkpoint"),
+    "sosnet": WeightPort(
+        "kornia_tpu.feature.descriptors:load_sosnet_torch_weights",
+        "layers.{1..21}.* conv/bn chain (sosnet.py:30)",
+        "kornia SOSNet checkpoint"),
+    "hynet": WeightPort(
+        "kornia_tpu.feature.descriptors:load_hynet_torch_weights",
+        "layer1-7.* FRN/TLU conv stack (hynet.py:188)",
+        "kornia HyNet checkpoint"),
+    "keynet": WeightPort(
+        "kornia_tpu.feature.descriptors:load_keynet_torch_weights",
+        "feature_extractor.lb_block.conv{0..2}.*, last_conv.0.* "
+        "(keynet.py:133)",
+        "kornia Key.Net checkpoint"),
+    "orinet": WeightPort(
+        "kornia_tpu.feature.affnet:load_orinet_torch_weights",
+        "features.N.{weight,running_mean,running_var} 6-conv trunk + head "
+        "(orientation.py:133)",
+        "kornia OriNet checkpoint"),
+    "affnet": WeightPort(
+        "kornia_tpu.feature.affnet:load_affnet_torch_weights",
+        "features.N.* 6-conv trunk + 3-out head (affine_shape.py:161)",
+        "kornia AffNet checkpoint"),
 }
-# not yet portable: ALIKED (flax auto-named tree needs a key-mapping
-# converter), SOLD2 (same), DeFMO — tracked in ROADMAP.
 
 
 def _resolve(dotted: str) -> Callable:
