@@ -177,52 +177,64 @@ def ransac(
         mask = jnp.ones(N, dtype=bool)
     valid_count = jnp.sum(mask)
 
-    # --- draw all samples up-front: (T, S, m) indices -----------------------
+    # --- round loop with REAL early exit ------------------------------------
+    # One `lax.while_loop` round = S minimal samples, estimation, MSAC
+    # scoring. The loop stops as soon as the confidence bound of the best
+    # inlier count is met (the reference's early exit, ransac.py:343) —
+    # unlike a fully unrolled T×S program, rounds that the bound prunes
+    # cost NOTHING. At the typical 50-70% inlier ratios of a matched pair
+    # this executes exactly one round; degenerate scenes still get all T.
     T, S = max_iterations, batch_size
-    # Gumbel top-k trick over masked logits → m distinct valid indices
-    logits = jnp.where(mask, 0.0, -jnp.inf)
+    th2 = inl_th * inl_th
+    base_logits = jnp.where(mask, 0.0, -jnp.inf)
+    z = None
     if scores is not None:
         # PROSAC schedule: per-round weight beta_r decays linearly so
         # round 0 is sharply score-biased and the last round is uniform
         z = (scores - jnp.mean(scores)) / (jnp.std(scores) + 1e-6)
-        beta = jnp.linspace(3.0, 0.0, T)[:, None, None]  # (T, 1, 1)
-        logits = logits[None, None, :] + beta * z[None, None, :]
-        logits = jnp.broadcast_to(logits, (T, S, N)).reshape(T * S, N)
-    g = jax.random.gumbel(key, (T * S, N)) + logits
-    _, idx = jax.lax.top_k(g, m)  # (T*S, m)
-    p1s = points1[idx]  # (T*S, m, 2)
-    p2s = points2[idx]
 
-    sample_ok = _sample_validity(model_type, p1s, p2s)
+    def one_round(r, rkey):
+        logits = base_logits
+        if z is not None:
+            beta = 3.0 * jnp.maximum(1.0 - r / max(T - 1, 1), 0.0)
+            logits = logits + beta * z
+        # Gumbel top-k trick over masked logits → m distinct valid indices
+        g = jax.random.gumbel(rkey, (S, N)) + logits[None]
+        _, idx = jax.lax.top_k(g, m)  # (S, m)
+        p1s = points1[idx]
+        p2s = points2[idx]
+        sample_ok = _sample_validity(model_type, p1s, p2s)
+        models = _estimate(model_type, p1s, p2s)  # (S, K, 3, 3)
+        K = models.shape[1]
+        models = models.reshape(S * K, 3, 3)
+        model_ok = jnp.repeat(sample_ok, K) & (
+            jnp.linalg.norm(models.reshape(-1, 9), axis=-1) > 1e-6)
+        msac, cnt = _msac_scores(model_type, points1, points2, models,
+                                 mask, th2)
+        msac = jnp.where(model_ok, msac, jnp.inf)
+        b = jnp.argmin(msac)
+        return models[b], msac[b], cnt[b]
 
-    # --- estimate models (vmapped minimal solver) ---------------------------
-    models = _estimate(model_type, p1s, p2s)  # (T*S, K, 3, 3)
-    K = models.shape[1]
-    models = models.reshape(T * S * K, 3, 3)
-    model_ok = jnp.repeat(sample_ok, K) & (
-        jnp.linalg.norm(models.reshape(-1, 9), axis=-1) > 1e-6)
+    def cond(state):
+        r, _, _, _, best_cnt = state
+        bound = max_samples_by_conf(best_cnt, N, m, confidence)
+        return (r < T) & ((r * S).astype(jnp.float32) <= bound)
 
-    # --- score: MSAC (streamed over model chunks at large scale) ------------
-    th2 = inl_th * inl_th
-    msac, inl_counts = _msac_scores(model_type, points1, points2, models,
-                                    mask, th2)
-    msac = jnp.where(model_ok, msac, jnp.inf)
+    def body(state):
+        r, k, best_model, best_msac, best_cnt = state
+        k, sub = jax.random.split(k)
+        mdl, ms, ct = one_round(r, sub)
+        better = ms < best_msac
+        best_model = jnp.where(better, mdl, best_model)
+        best_cnt = jnp.where(better, ct, best_cnt)
+        best_msac = jnp.minimum(ms, best_msac)
+        return r + 1, k, best_model, best_msac, best_cnt
 
-    # --- early-stop mask (confidence semantics without dynamic loop) --------
-    # best inlier count after each round r; rounds beyond the bound of the
-    # best-so-far are masked out, reproducing the reference's early exit.
-    per_round_best = jnp.max(inl_counts.reshape(T, S * K), axis=-1)
-    best_so_far = jax.lax.cummax(per_round_best)
-    bound = max_samples_by_conf(
-        jnp.concatenate([jnp.zeros(1, best_so_far.dtype), best_so_far[:-1]]),
-        N, m, confidence)
-    round_active = (jnp.arange(T, dtype=jnp.float32) * S) <= bound
-    active_mask = jnp.repeat(round_active, S * K)
-    msac = jnp.where(active_mask, msac, jnp.inf)
-
-    best_idx = jnp.argmin(msac)
-    best_model = models[best_idx]
-    best_score = msac[best_idx]
+    _, _, best_model, best_score, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), key, jnp.eye(3, dtype=points1.dtype),
+         jnp.asarray(jnp.inf, points1.dtype),
+         jnp.asarray(0, jnp.int32)))
 
     # --- polish: iterated local optimization (reference: ransac.py:383-393)
     # Each round refits on the current inlier set, re-scores, and accepts

@@ -4,3 +4,6 @@ from .ba_sparse import (build_point_tables, bundle_adjust_sparse,
 from .sfm import SfmResult, incremental_sfm
 from .posegraph import PoseGraph, optimize_pose_graph
 from .twoview import TwoViewResult, match_pair, two_view_pose
+from .loop_closure import (LoopEdge, close_loops, detect_loop_candidates,
+                           global_descriptors, verify_loop)
+from .vo import VisualOdometry, VOResult

@@ -239,8 +239,16 @@ class VisualOdometry:
         kps_np: List[np.ndarray] = []
         pair_next: List[np.ndarray] = []  # per pair: (K,) next-frame index
         pair_inl: List[np.ndarray] = []  # per pair: (K,) inlier mask
+        # per-frame cache for loop closure (slam/loop_closure.py): keypoints,
+        # descriptors, validity, and the frame's map-depth table
+        self.frame_cache: List[Dict[str, np.ndarray]] = []
         kp_prev, d_prev, v_prev = detect(frames[0])
         kps_np.append(np.asarray(kp_prev))
+        self.frame_cache.append({"kp": np.asarray(kp_prev),
+                                 "desc": np.asarray(d_prev),
+                                 "valid": np.asarray(v_prev),
+                                 "depth": np.zeros(kp_prev.shape[0],
+                                                   np.float32)})
         Kf = kp_prev.shape[0]
         depth_prev = jnp.zeros((Kf,), jnp.float32)
         has_prev = jnp.asarray(False)
@@ -288,6 +296,10 @@ class VisualOdometry:
                     depth_prev = jnp.where(ba_d > 0.0, ba_d, depth_prev)
             R_prev = jnp.asarray(poses[i][:3, :3], jnp.float32)
             t_prev = jnp.asarray(poses[i][:3, 3], jnp.float32)
+            self.frame_cache.append({"kp": np.asarray(kp_cur),
+                                     "desc": np.asarray(d_cur),
+                                     "valid": np.asarray(v_cur),
+                                     "depth": np.asarray(depth_prev)})
             kp_prev, d_prev, v_prev = kp_cur, d_cur, v_cur
         if refine and 3 <= len(frames) <= self.global_ba_frames:
             # final smoothing pass over the whole sequence (gauge anchored

@@ -247,3 +247,57 @@ def render_sequence(scene: PlaneScene, K: jax.Array, trajectory: np.ndarray,
         frames.append(img)
         depths.append(depth)
     return frames, depths
+
+
+def loop_trajectory(n_frames: int, rx: float = 1.6, rz: float = 3.2,
+                    center_z: float = 5.0, sway: float = 0.08
+                    ) -> np.ndarray:
+    """Closed circuit inside the room: the camera walks an ellipse in the
+    x-z plane, heading along the path tangent (full 360° yaw sweep), and
+    returns to its start pose — the canonical loop-closure trajectory
+    (frame N-1 revisits frame 0's view). Returns (N, 4, 4) world→camera."""
+    Ts = []
+    for i in range(n_frames):
+        ang = 2.0 * math.pi * i / max(n_frames - 1, 1)
+        pos = np.array([rx * math.sin(ang),
+                        sway * math.sin(3.0 * ang),
+                        center_z - rz * math.cos(ang)], np.float32)
+        tx, tz = rx * math.cos(ang), rz * math.sin(ang)
+        yaw = math.atan2(tx, tz)
+        R = _look_rotation(yaw, 0.04 * math.sin(2.0 * ang))
+        t = (-R @ pos).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        Ts.append(T)
+    return np.stack(Ts)
+
+
+def degrade_sequence(frames: List[jax.Array], key: jax.Array,
+                     exposure_amp: float = 0.25, noise_sigma: float = 0.01,
+                     blur_frac: float = 0.3, blur_kernel: int = 5
+                     ) -> List[jax.Array]:
+    """Photometric nuisance model for rendered sequences: smooth exposure
+    drift (random-walk log-gain), per-frame Gaussian sensor noise, and
+    directional motion blur on a random subset of frames — the effects a
+    perfect-photometry render cannot exercise (TUM-style degradations)."""
+    from ..ops.filters import motion_blur
+
+    n = len(frames)
+    k_gain, k_noise, k_blur, k_ang = jax.random.split(key, 4)
+    steps = jax.random.normal(k_gain, (n,)) * (exposure_amp / max(n ** 0.5, 1))
+    log_gain = jnp.cumsum(steps)
+    log_gain = log_gain - jnp.mean(log_gain)
+    gains = jnp.exp(jnp.clip(log_gain, -exposure_amp, exposure_amp))
+    blur_mask = jax.random.uniform(k_blur, (n,)) < blur_frac
+    angles = jax.random.uniform(k_ang, (n,), minval=0.0, maxval=180.0)
+    out = []
+    for i, f in enumerate(frames):
+        g = gains[i]
+        img = f * g
+        if bool(blur_mask[i]):
+            img = motion_blur(img, blur_kernel, angles[i][None])
+        noise = jax.random.normal(jax.random.fold_in(k_noise, i), f.shape)
+        img = jnp.clip(img + noise_sigma * noise, 0.0, 1.0)
+        out.append(img)
+    return out
