@@ -326,6 +326,25 @@ def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
     px = jnp.clip(px, 0.0, wl - 1.0)
     py = jnp.clip(py, 0.0, hl - 1.0) + off_t[lvl_c][..., None, None]
 
+    # TPU fast path: per-keypoint DMA window + 2-hot matmul bilinear in a
+    # Pallas kernel — XLA's flat gather costs ~12 ns/element, which made
+    # this stage the front end's biggest cost (ROADMAP round-3 profile).
+    # Guarantee for the kernel: every sample is within +-64 px of its
+    # (rect-clamped) center because the pyramid level is chosen so the
+    # LAF radius is < PS <= 64 px.
+    if (jax.default_backend() == "tpu" and B == 1 and C == 1
+            and W >= 256 and Htot >= 136 and PS <= 64):
+        from ..ops.pallas_kernels import patch_sample_mxu
+        ctr_cx = jnp.clip(ctr[..., 0], 0.0, wl[..., 0, 0] - 1.0)
+        ctr_cy = jnp.clip(ctr[..., 1], 0.0, hl[..., 0, 0] - 1.0) \
+            + off_t[lvl_c]
+        centers = jnp.stack([ctr_cx[0], ctr_cy[0]], -1)  # (N, 2)
+        out = patch_sample_mxu(atlas[0, 0],
+                               px.reshape(N, PS * PS),
+                               py.reshape(N, PS * PS), centers)
+        out = out.reshape(1, N, 1, PS, PS)
+        return jnp.where(in_range[:, :, None, None, None], out, 0.0)
+
     nx = 2.0 * px / max(W - 1, 1) - 1.0
     ny = 2.0 * py / max(Htot - 1, 1) - 1.0
     grid = jnp.stack([nx, ny], axis=-1).reshape(B, N * PS, PS, 2)

@@ -18,6 +18,7 @@ mesh (SURVEY.md §5).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -305,6 +306,77 @@ def _transformer(p, prefix, n_layers, nhead, f0, f1):
         f0 = _encoder_layer(p, pre, f0, f1, nhead)
         f1 = _encoder_layer(p, pre, f1, f0, nhead)
     return f0, f1
+
+
+# -----------------------------------------------------------------------------
+# Coarse-attention context parallelism (SURVEY §5's named TPU item; the
+# reference has NO parallel path — this is a beat-the-reference feature)
+# -----------------------------------------------------------------------------
+
+def _linear_attention_dist(q, k, v, axis_name, eps=1e-6):
+    """Sequence-sharded elu+1 linear attention: K/V live sharded on the
+    token axis; the ONLY cross-device traffic is one psum of the (H, D, D)
+    KV moment and the (H, D) K-sum — O(D^2) bytes per layer instead of
+    the O(L^2) that softmax ring-attention would move. Queries stay
+    sharded; the output needs no further collective."""
+    Q = jax.nn.elu(q) + 1.0
+    K = jax.nn.elu(k) + 1.0
+    n_dev = jax.lax.psum(1, axis_name)
+    v_length = v.shape[1] * n_dev  # GLOBAL source length
+    v = v / v_length
+    KV = jax.lax.psum(jnp.einsum("nshd,nshv->nhdv", K, v), axis_name)
+    Ksum = jax.lax.psum(K.sum(axis=1), axis_name)
+    Z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", Q, Ksum) + eps)
+    return jnp.einsum("nlhd,nhdv,nlh->nlhv", Q, KV, Z) * v_length
+
+
+def _encoder_layer_dist(p, pre, x, source, nhead, axis_name):
+    B, L, C = x.shape
+    d = C // nhead
+    lin = lambda n, t: t @ p[f"{pre}.{n}.weight"].T.astype(t.dtype)
+    q = lin("q_proj", x).reshape(B, L, nhead, d)
+    k = lin("k_proj", source).reshape(B, -1, nhead, d)
+    v = lin("v_proj", source).reshape(B, -1, nhead, d)
+    msg = _linear_attention_dist(q, k, v, axis_name).reshape(B, L, C)
+    msg = _layer_norm(p, f"{pre}.norm1", lin("merge", msg))
+    msg = jnp.concatenate([x, msg], -1)
+    msg = jax.nn.relu(msg @ p[f"{pre}.mlp.0.weight"].T.astype(msg.dtype))
+    msg = msg @ p[f"{pre}.mlp.2.weight"].T.astype(msg.dtype)
+    return x + _layer_norm(p, f"{pre}.norm2", msg)
+
+
+def loftr_coarse_context_parallel(params, cfg, feat0, feat1, mesh,
+                                  axis: str = "data"):
+    """Run the coarse LocalFeatureTransformer with BOTH token sequences
+    sharded over ``mesh[axis]`` (sequence/context parallelism).
+
+    feat0/feat1: (B, L, C) coarse tokens (+pos-enc already added), L
+    divisible by the axis size. Layer-for-layer identical math to the
+    single-device `_transformer` (same per-device einsums, one psum per
+    attention) — the all-pairs (H·W/64)² interaction rides ICI as two
+    tiny (H, D, D) moments per layer.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n = cfg.num_coarse_layers
+    nhead = cfg.num_heads
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(None, axis, None), P(None, axis, None)),
+             out_specs=(P(None, axis, None), P(None, axis, None)),
+             check_vma=False)
+    def run(p, f0, f1):
+        for i in range(n):
+            pre = f"loftr_coarse.layers.{2 * i}"
+            f0 = _encoder_layer_dist(p, pre, f0, f0, nhead, axis)
+            f1 = _encoder_layer_dist(p, pre, f1, f1, nhead, axis)
+            pre = f"loftr_coarse.layers.{2 * i + 1}"
+            f0 = _encoder_layer_dist(p, pre, f0, f1, nhead, axis)
+            f1 = _encoder_layer_dist(p, pre, f1, f0, nhead, axis)
+        return f0, f1
+
+    return run(params, feat0, feat1)
 
 
 # -----------------------------------------------------------------------------

@@ -272,3 +272,122 @@ def fused_separable_blur2d(x: jax.Array, kernel_y: jax.Array,
         return out.astype(x.dtype).reshape(B, C, H, W)
 
     raise ValueError(f"unknown fused-blur variant: {variant!r}")
+
+
+# ---------------------------------------------------------------------------
+# Affine patch sampling: per-keypoint DMA window + 2-hot matmul bilinear
+# ---------------------------------------------------------------------------
+
+_WIN_H = 136   # sublane-aligned window height (8 | 136)
+_WIN_W = 256   # lane-aligned window width (128 | 256)
+
+
+_KP_BLK = 8  # keypoints per program (sublane-aligned block)
+
+
+def _patch_sample_kernel(corners_ref, px_ref, py_ref, atlas_ref, out_ref,
+                         win_ref, sem_ref):
+    """8 keypoints per program: DMA each keypoint's (136, 256) atlas
+    window into VMEM, then evaluate all S bilinear samples with TWO dense
+    ops — a (S, 136) 2-hot row-interp matrix matmul'd against the window
+    on the MXU, and a lane-wise 2-hot column select-reduce on the VPU. No
+    per-element gather ever happens: XLA's TPU gather costs ~12 ns per
+    element (measured, ROADMAP.md round-3 profile), which made LAF patch
+    extraction the front end's biggest stage."""
+    n = pl.program_id(0)
+
+    def dma_for(nb, slot):
+        # corners are aligned by construction (see patch_sample_mxu);
+        # the hint lets Mosaic prove the sliced DMA is tile-aligned
+        cy = pl.multiple_of(corners_ref[n * _KP_BLK + nb, 0], 8)
+        cx = pl.multiple_of(corners_ref[n * _KP_BLK + nb, 1], 128)
+        return pltpu.make_async_copy(
+            atlas_ref.at[pl.ds(cy, _WIN_H), pl.ds(cx, _WIN_W)],
+            win_ref.at[slot], sem_ref.at[slot])
+
+    dma_for(0, 0).start()
+    for nb in range(_KP_BLK):
+        slot = nb % 2
+        if nb + 1 < _KP_BLK:
+            dma_for(nb + 1, (nb + 1) % 2).start()
+        dma_for(nb, slot).wait()
+        cx = corners_ref[n * _KP_BLK + nb, 1]
+        cy = corners_ref[n * _KP_BLK + nb, 0]
+        x = px_ref[nb, :] - cx.astype(jnp.float32)
+        y = py_ref[nb, :] - cy.astype(jnp.float32)
+        x = jnp.clip(x, 0.0, _WIN_W - 1.001)
+        y = jnp.clip(y, 0.0, _WIN_H - 1.001)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        S = x.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, _WIN_H), 1)
+        y0i = y0.astype(jnp.int32)[:, None]
+        wy = (jnp.where(rows == y0i, 1.0 - ty[:, None], 0.0)
+              + jnp.where(rows == y0i + 1, ty[:, None], 0.0))
+        # HIGHEST: the 2-hot interp weights and the image must not
+        # round to bf16 (default MXU precision costs ~4e-3 on [0,1]
+        # images; Mosaic supports only DEFAULT/HIGHEST). ~13 ms device
+        # for 1024x41^2 — the 6-pass-f32 MXU roofline of this shape —
+        # vs ~56 ms for the XLA flat-gather path it replaces.
+        P = jax.lax.dot(wy, win_ref[slot],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # (S, 256)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, _WIN_W), 1)
+        x0i = x0.astype(jnp.int32)[:, None]
+        wx = (jnp.where(cols == x0i, 1.0 - tx[:, None], 0.0)
+              + jnp.where(cols == x0i + 1, tx[:, None], 0.0))
+        out_ref[nb, :] = jnp.sum(P * wx, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def patch_sample_mxu(atlas: jax.Array, px: jax.Array, py: jax.Array,
+                     centers: jax.Array, interpret: bool = False
+                     ) -> jax.Array:
+    """Bilinear-sample S points per keypoint from a 2D atlas.
+
+    atlas: (H, W) f32, W >= 256, H >= 136. px/py: (N, S) absolute pixel
+    coords with every sample within +-64 px of its keypoint's `centers`
+    (N, 2) xy — guaranteed by LAF pyramid-level selection (the level is
+    chosen so the patch radius is < PS <= 64 px, feature/laf.py:275).
+    Returns (N, S) samples, exact bilinear (matches the flat-gather
+    grid_sample path to f32 rounding).
+    """
+    H, W = atlas.shape
+    N, S = px.shape
+    Sp = -(-S // 8) * 8
+    Np = -(-N // _KP_BLK) * _KP_BLK
+    if Sp != S or Np != N:
+        px = jnp.pad(px, ((0, Np - N), (0, Sp - S)))
+        py = jnp.pad(py, ((0, Np - N), (0, Sp - S)))
+        centers = jnp.pad(centers, ((0, Np - N), (0, 0)),
+                          constant_values=64.0)
+    cx = jnp.clip((centers[:, 0].astype(jnp.int32) - 64) // 128 * 128,
+                  0, W - _WIN_W)
+    cy = jnp.clip((centers[:, 1].astype(jnp.int32) - 64) // 8 * 8,
+                  0, H - _WIN_H)
+    corners = jnp.stack([cy, cx], -1).astype(jnp.int32)  # (Np, 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Np // _KP_BLK,),
+        in_specs=[
+            pl.BlockSpec((_KP_BLK, Sp), lambda n, c: (n, 0)),
+            pl.BlockSpec((_KP_BLK, Sp), lambda n, c: (n, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((_KP_BLK, Sp), lambda n, c: (n, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, _WIN_H, _WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _patch_sample_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np, Sp), jnp.float32),
+        interpret=interpret,
+    )(corners, px.astype(jnp.float32), py.astype(jnp.float32),
+      atlas.astype(jnp.float32))
+    return out[:N, :S]
