@@ -91,7 +91,9 @@ class RandomRotation3D(_Base3D):
     def apply(self, x, params):
         D, H, W = x.shape[-3:]
         M = self.matrix4(params, x.shape)[:, :3]
-        return warp_affine3d(x, M, (D, H, W))
+        # reference 3D geometric ops default to align_corners=False
+        # (_3d/geometric/rotation.py:102)
+        return warp_affine3d(x, M, (D, H, W), align_corners=False)
 
     def matrix4(self, params, shape):
         B = params["angles"].shape[0]
@@ -140,7 +142,9 @@ class RandomAffine3D(_Base3D):
     def apply(self, x, params):
         D, H, W = x.shape[-3:]
         M = self.matrix4(params, x.shape)[:, :3]
-        return warp_affine3d(x, M, (D, H, W))
+        # reference 3D geometric ops default to align_corners=False
+        # (_3d/geometric/rotation.py:102)
+        return warp_affine3d(x, M, (D, H, W), align_corners=False)
 
     def matrix4(self, params, shape):
         B = params["angles"].shape[0]

@@ -184,10 +184,12 @@ def _mm2_pallas_raw(xf: jax.Array, sv: jax.Array, sh: jax.Array,
     per_img = 3 * H * W * 4
     fixed = (H * H + W * W) * 4
     NB = 1
-    for cand in (8, 4, 2):
-        if N % cand == 0 and cand * per_img + fixed <= 6 * 1024 * 1024:
-            NB = cand
-            break
+    # NB in {8, 1} ONLY: Mosaic's layout inference fails the (H, NB, W)
+    # -> (NB, H, W) shape cast for small odd batches (measured: NB=2 at
+    # 240x320 dies with "unsupported shape cast"; NB=8 and NB=1 lower
+    # cleanly at every shape exercised)
+    if N % 8 == 0 and 8 * per_img + fixed <= 6 * 1024 * 1024:
+        NB = 8
     return pl.pallas_call(
         functools.partial(_blur_kernel_mm2, precision="float32"),
         grid=(N // NB,),

@@ -171,6 +171,11 @@ def warp_perspective3d(src: jax.Array, M: jax.Array,
               @ jnp.linalg.inv(src_norm.astype(jnp.float32))[None])
     M_inv = jnp.linalg.inv(M_norm).astype(src.dtype)
     grid = create_meshgrid3d(Do, Ho, Wo, True, src.dtype)  # (1, Do, Ho, Wo, 3)
+    if not align_corners:
+        # torch F.affine_grid(align_corners=False) emits half-pixel-center
+        # NDC: linspace(-1, 1, n) * (n - 1) / n per axis (xyz order)
+        grid = grid * jnp.asarray([(Wo - 1) / Wo, (Ho - 1) / Ho,
+                                   (Do - 1) / Do], src.dtype)
     pts = jnp.broadcast_to(grid.reshape(1, -1, 3), (B, Do * Ho * Wo, 3))
     ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
     warped = jnp.einsum("bij,bnj->bni", M_inv, ph)
