@@ -169,7 +169,10 @@ class Test3DMatrices:
             M = aug.matrix4(params, vol.shape)
             np.testing.assert_allclose(np.asarray(M[:, 3]),
                                        np.broadcast_to([0, 0, 0, 1.0], (2, 4)))
-            out2 = warp_affine3d(vol, M[:, :3], vol.shape[-3:])
+            # 3D geometric augs warp with the reference's default
+            # align_corners=False (see volumetric.py apply)
+            out2 = warp_affine3d(vol, M[:, :3], vol.shape[-3:],
+                                 align_corners=False)
             np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
                                        atol=1e-5)
 
