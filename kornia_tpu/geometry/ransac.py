@@ -217,7 +217,11 @@ def ransac(
 
     def cond(state):
         r, _, _, _, best_cnt = state
-        bound = max_samples_by_conf(best_cnt, N, m, confidence)
+        # the confidence ratio is inliers / VALID correspondences — using
+        # the padded N would undercount the ratio ~4x in fixed-K pipelines
+        # and silently run every round
+        bound = max_samples_by_conf(best_cnt, jnp.maximum(valid_count, 1),
+                                    m, confidence)
         return (r < T) & ((r * S).astype(jnp.float32) <= bound)
 
     def body(state):
