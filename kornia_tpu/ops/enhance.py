@@ -180,15 +180,19 @@ def posterize(image: jax.Array, bits) -> jax.Array:
         raise ValueError(f"posterize bits must be in [0, 8], got {bits}")
     bits = jnp.asarray(bits)
     if bits.ndim == 0:
-        levels = 2.0 ** bits.astype(image.dtype)
         q = jnp.floor(image * 255.0).astype(jnp.int32)
         shift = (8 - bits).astype(jnp.int32)
         q = (q >> shift) << shift
-        return q.astype(image.dtype) / 255.0
+        out = q.astype(image.dtype) / 255.0
+        # bits == 8 is EXACT identity in the reference (adjust.py posterize
+        # doctest asserts it) — no uint8 round trip
+        return jnp.where(bits == 8, image, out)
     shift = (8 - bits).astype(jnp.int32).reshape(-1, *([1] * (image.ndim - 1)))
     q = jnp.floor(image * 255.0).astype(jnp.int32)
     q = (q >> shift) << shift
-    return q.astype(image.dtype) / 255.0
+    out = q.astype(image.dtype) / 255.0
+    bits_b = bits.reshape(-1, *([1] * (image.ndim - 1)))
+    return jnp.where(bits_b == 8, image, out)
 
 
 def sharpness(image: jax.Array, factor) -> jax.Array:
