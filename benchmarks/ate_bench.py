@@ -154,11 +154,23 @@ def main():
 
         a_lc = float("nan")
         if name.startswith("loop"):
+            from kornia_tpu.slam.loop_closure import (
+                detect_loop_candidates, global_descriptors, verify_loop)
             f = float(K_np[0, 0])
+            gdesc = global_descriptors(vo.frame_cache)
+            cands = detect_loop_candidates(
+                gdesc, max(args.frames // 4, 10), 0.75)
+            print(f"  [loop] candidates: {cands[:5]}")
+            for ci, cj, cs in cands[:3]:
+                _T, _n, _nm = verify_loop(vo.frame_cache, res_rf.poses,
+                                          ci, cj, K_np, inl_th=1.5 / f)
+                print(f"  [loop] verify i={ci} j={cj} sim={cs:.3f} "
+                      f"inl={_n} map={_nm}")
             closed, lc_edges = close_loops(
                 vo.frame_cache, res_rf.poses, K_np,
                 min_separation=max(args.frames // 4, 10), sim_th=0.75,
-                min_inliers=30, inl_th=1.5 / f, loop_weight=10.0,
+                min_inliers=15, min_inlier_frac=0.5, inl_th=1.5 / f,
+                loop_weight=10.0,
                 pg_iters=40)
             a_lc = ate(closed)
             print(f"  [loop] accepted edges: "

