@@ -8,6 +8,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import f32_matmul_precision
 from ..core.check import check_shape
 from ..core.dtype import as_float
 from ..core.linalg import lstsq_nullspace
@@ -68,6 +69,7 @@ def solve_pnp_dlt(world_points: jax.Array, img_points: jax.Array,
     return jnp.concatenate([R, t_full[..., None]], axis=-1)
 
 
+@f32_matmul_precision
 def pnp_ransac(world_points: jax.Array, img_points: jax.Array,
                key: jax.Array, inl_th: float, mask: Optional[jax.Array] = None,
                batch_size: int = 256, gn_iters: int = 5

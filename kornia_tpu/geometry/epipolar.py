@@ -24,6 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import f32_matmul_precision
 from ..core.check import check, check_shape
 from ..core.dtype import as_float
 from ..core.linalg import (gauss_det, inverse_3x3, lstsq_nullspace,
@@ -67,6 +68,7 @@ def _to_homog(p: jax.Array) -> jax.Array:
 # Fundamental matrix
 # -----------------------------------------------------------------------------
 
+@f32_matmul_precision
 def run_8point(points1: jax.Array, points2: jax.Array,
                weights: Optional[jax.Array] = None) -> jax.Array:
     """Normalized 8-point algorithm (B, N≥8, 2) → (B, 3, 3)
@@ -307,6 +309,7 @@ def _polish_xyz(constraints: jax.Array, xs: jax.Array, ys: jax.Array,
     return out[..., 0], out[..., 1], out[..., 2]
 
 
+@f32_matmul_precision
 def run_5point(points1: jax.Array, points2: jax.Array,
                weights: Optional[jax.Array] = None) -> jax.Array:
     """Nistér-style 5-point essential solver → (B, 20, 3, 3), zero-padded
@@ -677,6 +680,7 @@ def motion_from_homography_choose_solution(
     return Rb, tb, nb
 
 
+@f32_matmul_precision
 def motion_from_essential_choose_solution(
     E: jax.Array, K1: jax.Array, K2: jax.Array,
     x1: jax.Array, x2: jax.Array, mask: Optional[jax.Array] = None,
@@ -787,6 +791,7 @@ def projections_from_fundamental(F: jax.Array) -> Tuple[jax.Array, jax.Array]:
 # Triangulation
 # -----------------------------------------------------------------------------
 
+@f32_matmul_precision
 def triangulate_points(P1: jax.Array, P2: jax.Array, points1: jax.Array,
                        points2: jax.Array) -> jax.Array:
     """Batched DLT triangulation (reference: triangulation.py:59).

@@ -12,6 +12,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import f32_matmul_precision
 from ..core.check import check, check_shape
 from ..core.dtype import as_float
 from ..core.linalg import lstsq_nullspace, nullspace_qr
@@ -45,6 +46,7 @@ def normalize_points(points: jax.Array, eps: float = 1e-8
     return (points - mean) * s, T
 
 
+@f32_matmul_precision
 def find_homography_dlt(
     points1: jax.Array,
     points2: jax.Array,
@@ -104,6 +106,7 @@ def symmetric_transfer_error(pts1: jax.Array, pts2: jax.Array, H: jax.Array,
     return err if squared else jnp.sqrt(err + eps)
 
 
+@f32_matmul_precision
 def find_homography_dlt_iterated(
     points1: jax.Array,
     points2: jax.Array,

@@ -27,6 +27,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import f32_matmul_precision
 from ..core.dtype import as_float
 from .epipolar import (
     find_fundamental,
@@ -147,6 +148,7 @@ def max_samples_by_conf(n_inl: jax.Array, num_tc: int, sample_size: int,
 
 @partial(jax.jit, static_argnames=("model_type", "batch_size",
                                    "max_iterations", "polish_iters"))
+@f32_matmul_precision
 def ransac(
     points1: jax.Array,
     points2: jax.Array,

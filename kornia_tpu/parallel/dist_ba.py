@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core.linalg import f32_matmul_precision
 from ..geometry.liegroup import Se3, So3
 from ..losses.robust import huber_weight
 from ..slam.ba import (BAProblem, BAState, _apply_step, _build_normal_eqs,
@@ -82,6 +83,7 @@ def _local_normal_eqs(poses_q, poses_t, points_local, cam_idx, pt_idx, uv,
     return H_cc, H_pp, W, b_c, b_p, cost
 
 
+@f32_matmul_precision
 def distributed_bundle_adjust(
     mesh: Mesh,
     state: BAState,
@@ -345,6 +347,7 @@ def _sparse_local_eqs(poses_q, poses_t, points_l, cams, uv, mask, K, C,
             Hpp_inv, Wp, b_p)
 
 
+@f32_matmul_precision
 def distributed_bundle_adjust_sparse(
     mesh: Mesh,
     state: BAState,

@@ -34,6 +34,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import f32_matmul_precision
 from ..geometry.liegroup import Se3, So3
 from ..losses.robust import huber_weight
 
@@ -204,6 +205,7 @@ def _apply_step(state: BAState, dx_c: jax.Array, dx_p: jax.Array) -> BAState:
 
 @partial(jax.jit, static_argnames=("num_iters", "fix_first_cam", "num_cameras",
                                    "num_points", "robust"))
+@f32_matmul_precision
 def bundle_adjust(
     state: BAState,
     problem: BAProblem,

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.linalg import f32_matmul_precision
 from ..losses.robust import (cauchy_weight, geman_mcclure_weight,
                              huber_weight, tukey_weight, welsch_weight)
 from .ba import BAProblem, BAState, _apply_step, _residual_one
@@ -171,6 +172,7 @@ def _sparse_lm_step(state, lam, problem, obs_idx, obs_mask, C, P,
 
 @partial(jax.jit, static_argnames=("num_cameras", "num_points", "num_iters",
                                    "robust", "fix_first_cam", "gnc_stages"))
+@f32_matmul_precision
 def bundle_adjust_sparse(
     state: BAState,
     problem: BAProblem,

@@ -15,6 +15,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..core.linalg import f32_matmul_precision
 from ..geometry.liegroup import Se3, So3
 from ..losses.robust import huber_weight
 
@@ -53,6 +54,7 @@ def _edge_residual(dx_i: jax.Array, dx_j: jax.Array, qi, ti, qj, tj,
 
 
 @partial(jax.jit, static_argnames=("num_iters", "fix_first"))
+@f32_matmul_precision
 def optimize_pose_graph(
     poses: Se3,
     graph: PoseGraph,
@@ -183,6 +185,7 @@ def _sim3_edge_residual(d_i, d_j, qi, ti, si, qj, tj, sj, qm, tm,
 
 
 @partial(jax.jit, static_argnames=("num_iters", "fix_first"))
+@f32_matmul_precision
 def optimize_pose_graph_sim3(
     poses: Se3,
     graph: PoseGraph,

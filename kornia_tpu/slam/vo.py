@@ -319,6 +319,13 @@ class VisualOdometry:
         if key in cache:
             return cache[key]
         ba_iters = self.ba_iters
+        # robust deltas are PIXEL thresholds: scale with focal length so
+        # the angular gate is resolution-independent (measured: at 480p
+        # the unscaled 24 px huber covered too little of the chained-init
+        # error distribution and BA converged to a worse basin than the
+        # odometry it was refining — walk100 refined 16% vs chained 9%;
+        # at 240p the same code gave 3.75% vs 21%)
+        s_px = float(0.5 * (self.K[0, 0] + self.K[1, 1])) / 256.0
 
         @jax.jit
         def fn(R_stack, t_stack, obs_cam, obs_trk, obs_uv, obs_valid,
@@ -344,18 +351,19 @@ class VisualOdometry:
             # the true outliers, then a tight re-gated huber polish
             state, c0 = bundle_adjust(
                 state0, problem, C, T_max, num_iters=max(ba_iters // 2, 4),
-                robust="huber", robust_delta=24.0, fix_first_cam=2)
+                robust="huber", robust_delta=24.0 * s_px, fix_first_cam=2)
             state, c1 = bundle_adjust(
                 state, problem, C, T_max, num_iters=ba_iters,
-                robust="cauchy", robust_delta=2.0, fix_first_cam=2)
-            # re-gate observations at 2 px and polish with a tight huber —
-            # removes the residual outlier bias smooth weighting leaves
+                robust="cauchy", robust_delta=2.0 * s_px, fix_first_cam=2)
+            # re-gate observations at ~2 px-equivalent and polish with a
+            # tight huber — removes the residual outlier bias smooth
+            # weighting leaves
             res = reprojection_residuals(state, problem)
-            good = valid & (jnp.sum(res * res, -1) < 4.0)
+            good = valid & (jnp.sum(res * res, -1) < 4.0 * s_px * s_px)
             problem2 = BAProblem(obs_cam, obs_trk, obs_uv, good, K)
             state, c2 = bundle_adjust(
                 state, problem2, C, T_max, num_iters=max(ba_iters // 2, 3),
-                robust="huber", robust_delta=1.0, fix_first_cam=2)
+                robust="huber", robust_delta=1.0 * s_px, fix_first_cam=2)
             return (state.poses.matrix(), state.points, ok,
                     jnp.concatenate([c0, c1, c2]))
 
