@@ -169,7 +169,7 @@ def main():
             closed, lc_edges = close_loops(
                 vo.frame_cache, res_rf.poses, K_np,
                 min_separation=max(args.frames // 4, 10), sim_th=0.75,
-                min_inliers=15, min_inlier_frac=0.5, inl_th=1.5 / f,
+                min_inliers=15, min_inlier_frac=0.35, inl_th=1.5 / f,
                 loop_weight=10.0,
                 pg_iters=40)
             a_lc = ate(closed)

@@ -165,7 +165,7 @@ def verify_loop(frame_cache, poses, i: int, j: int, K,
 
 def close_loops(frame_cache, poses, K, min_separation: int = 10,
                 sim_th: float = 0.85, min_inliers: int = 15,
-                min_inlier_frac: float = 0.5, loop_weight: float = 3.0,
+                min_inlier_frac: float = 0.35, loop_weight: float = 3.0,
                 pg_iters: int = 25, inl_th: float = 2e-3,
                 optimizer: str = "se3",
                 key: Optional[jax.Array] = None
@@ -179,8 +179,9 @@ def close_loops(frame_cache, poses, K, min_separation: int = 10,
     Acceptance is FRACTION-dominant (inliers >= min_inlier_frac of the
     map-backed matches, with a moderate absolute floor): degraded /
     sparse-map revisits have few map matches but near-unanimous PnP
-    support (measured: a true revisit at 24/28 vs junk candidates at
-    0/4), so a large absolute floor rejects exactly the real loops.
+    support (measured: true revisits at 24/28 and 18/48 vs junk
+    candidates at 0/3-0/4), so a large absolute floor or a too-high
+    fraction rejects exactly the real loops.
 
     optimizer: "se3" (default) or "sim3". With a single loop edge the
     rigid Se3 graph is better conditioned (measured on the rendered
