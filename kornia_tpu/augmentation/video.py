@@ -52,7 +52,6 @@ class VideoSequential(AugmentationSequential):
             raise ValueError(f"unknown data_format {data_format!r}")
         self.data_format = data_format
         self.same_on_frame = same_on_frame
-        self._T: Optional[int] = None
 
     # -- clip folding --------------------------------------------------------
     def _fold(self, x: jax.Array, k: str) -> jax.Array:
@@ -63,6 +62,13 @@ class VideoSequential(AugmentationSequential):
             return x.reshape(B * T, C, H, W)
         # coords-like: (B, T, N, ...) → (B*T, N, ...)
         return x.reshape((-1,) + x.shape[2:])
+
+    def _clip_T(self, x: jax.Array, k: str) -> int:
+        """Frames-per-clip from the INPUT's own shape (stateless — a
+        mismatched-clip inverse must not silently reuse forward's T)."""
+        if k in ("input", "mask") and self.data_format == "BCTHW":
+            return x.shape[2]
+        return x.shape[1]
 
     def _unfold(self, x: jax.Array, k: str, T: int) -> jax.Array:
         x = x.reshape((-1, T) + x.shape[1:])
@@ -90,7 +96,6 @@ class VideoSequential(AugmentationSequential):
             B, C, T, H, W = img.shape
         else:
             B, T, C, H, W = img.shape
-        self._T = T
         if params is None:
             if key is None:
                 key = jax.random.PRNGKey(0)
@@ -107,9 +112,7 @@ class VideoSequential(AugmentationSequential):
                 params: Optional[List[Dict]] = None,
                 in_hw: Optional[Tuple[int, int]] = None):
         keys_ = list(data_keys) if data_keys is not None else self.data_keys
-        T = self._T
-        if T is None:
-            raise RuntimeError("inverse called before forward")
+        T = self._clip_T(inputs[0], keys_[0])
         folded = [self._fold(as_float(x) if k in ("input", "mask")
                              else jnp.asarray(x), k)
                   for x, k in zip(inputs, keys_)]
@@ -165,6 +168,21 @@ class PatchSequential(ImageSequential):
                              f"got {padding!r}")
         self.padding = padding
         self.same_on_batch = same_on_batch
+        if patchwise_apply:
+            # reference constraints (patch.py:143-155): with patchwise
+            # apply the op list must tile the grid exactly, and an int
+            # random_apply is rejected outright.
+            if isinstance(random_apply, int) and not isinstance(
+                    random_apply, bool):
+                raise ValueError(
+                    "Only boolean `random_apply` allowed when "
+                    f"`patchwise_apply` is set to True. Got {random_apply}.")
+            gh, gw = self.grid_size
+            if random_apply is False and len(self.augs) != gh * gw:
+                raise ValueError(
+                    "The number of processing modules must be equal with "
+                    f"grid size. Got {len(self.augs)} and {gh * gw}. Please "
+                    "set random_apply = True or patchwise_apply = False.")
         self.patchwise_apply = patchwise_apply
         self.random_apply = random_apply
         self._params: Optional[List[PatchParamItem]] = None
@@ -209,7 +227,6 @@ class PatchSequential(ImageSequential):
                              pad: Optional[Tuple[int, int, int, int]] = None
                              ) -> jax.Array:
         gh, gw = self.grid_size
-        B = patches.shape[0] // 1
         B, P, C, ph, pw = patches.shape
         x = patches.reshape(B, gh, gw, C, ph, pw)
         x = x.transpose(0, 3, 1, 4, 2, 5).reshape(B, C, gh * ph, gw * pw)
@@ -241,8 +258,26 @@ class PatchSequential(ImageSequential):
             return self.augs[op_i].generate_parameters(k, (nb, C, ph, pw))
 
         records: List[PatchParamItem] = []
+        if self.patchwise_apply and self.random_apply is True:
+            # reference maps patchwise+random_apply=True to a random
+            # (1, 4)-op subsequence per location (patch.py:143-145)
+            for loc in range(P):
+                n_take = int(rng.integers(1, min(4, n_ops) + 1))
+                for op_i in rng.permutation(n_ops)[:n_take]:
+                    key, sub = jax.random.split(key)
+                    if self.same_on_batch:
+                        p = gen(sub, int(op_i), 1)
+                        p = jax.tree_util.tree_map(
+                            lambda v: jnp.repeat(v, B, 0)
+                            if hasattr(v, "ndim") and v.ndim >= 1 else v, p)
+                    else:
+                        p = gen(sub, int(op_i), B)
+                    idx = tuple(b * P + loc for b in range(B))
+                    records.append(PatchParamItem(idx, int(op_i), p))
+            return records
         if self.patchwise_apply:
-            # op i on patch location i (cycled), location-wise across batch
+            # op i on patch location i (one op per location; __init__
+            # guarantees len(augs) == gh*gw), location-wise across batch
             for loc in range(P):
                 op_i = loc % n_ops
                 key, sub = jax.random.split(key)
@@ -293,14 +328,56 @@ class PatchSequential(ImageSequential):
         return records
 
     # -- replay ---------------------------------------------------------------
+    @staticmethod
+    def _merge_group(recs: List[PatchParamItem]):
+        """Concatenate a same-op group's indices and param pytrees along
+        the batch axis. Returns None if any leaf is not batch-leading
+        (caller falls back to per-record replay)."""
+        ns = [len(r.indices) for r in recs]
+        leaves_per_rec = [jax.tree_util.tree_flatten(r.data) for r in recs]
+        treedef = leaves_per_rec[0][1]
+        if any(lp[1] != treedef for lp in leaves_per_rec[1:]):
+            return None
+        merged_leaves = []
+        for pieces in zip(*(lp[0] for lp in leaves_per_rec)):
+            if not all(hasattr(v, "ndim") and v.ndim >= 1
+                       and v.shape[0] == n for v, n in zip(pieces, ns)):
+                return None
+            merged_leaves.append(jnp.concatenate(
+                [jnp.asarray(v) for v in pieces], axis=0))
+        idx = np.concatenate(
+            [np.asarray(r.indices, np.int32) for r in recs])
+        return idx, jax.tree_util.tree_unflatten(treedef, merged_leaves)
+
     def forward_by_params(self, patches_flat: jax.Array,
                           params: List[PatchParamItem]) -> jax.Array:
         """(B*P, C, ph, pw) + records → augmented patches
-        (patch.py:346 forward_by_params)."""
+        (patch.py:346 forward_by_params).
+
+        Batched replay: records are partitioned into ROUNDS that preserve
+        each patch's op order (a record's round = number of earlier records
+        touching any of its patches); within a round, records sharing an op
+        are disjoint by construction and merge into ONE gathered device
+        call. Default mode thus issues exactly n_ops calls instead of
+        B·P·n_ops sequential dispatches (CLAUDE.md "everything under jit")."""
+        next_round: Dict[int, int] = {}
+        groups: Dict[Tuple[int, int], List[PatchParamItem]] = {}
         for rec in params:
-            idx = jnp.asarray(rec.indices, jnp.int32)
-            sub = patches_flat[idx]
-            out = self.augs[rec.op_index](sub, params=rec.data)
+            r = max((next_round.get(i, 0) for i in rec.indices), default=0)
+            for i in rec.indices:
+                next_round[i] = r + 1
+            groups.setdefault((r, rec.op_index), []).append(rec)
+        for r, op_i in sorted(groups, key=lambda k: k[0]):
+            recs = groups[(r, op_i)]
+            merged = self._merge_group(recs)
+            if merged is None:  # non-batch-leading leaves: safe fallback
+                for rec in recs:
+                    idx = jnp.asarray(rec.indices, jnp.int32)
+                    out = self.augs[op_i](patches_flat[idx], params=rec.data)
+                    patches_flat = patches_flat.at[idx].set(out)
+                continue
+            idx, data = merged
+            out = self.augs[op_i](patches_flat[idx], params=data)
             patches_flat = patches_flat.at[idx].set(out)
         return patches_flat
 
