@@ -193,6 +193,12 @@ MANIFEST: Dict[str, WeightPort] = {
         "kornia_tpu.feature.affnet:load_affnet_torch_weights",
         "features.N.* 6-conv trunk + 3-out head (affine_shape.py:161)",
         "kornia AffNet checkpoint"),
+    "depth_anything": WeightPort(
+        "kornia_tpu.models.depth_anything:load_torch_weights",
+        "pretrained.{cls_token,pos_embed,patch_embed,blocks.N,norm} DINOv2 "
+        "+ depth_head.{projects,resize_layers,scratch}.* DPT (LayerScale "
+        "folded into proj/fc2 exactly)",
+        "DepthAnything depth_anything_vit{s,b,l}14.pth"),
 }
 
 
