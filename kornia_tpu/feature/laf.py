@@ -17,6 +17,9 @@ from ..core.check import check, check_laf
 from ..core.dtype import as_float
 from ..core.linalg import det_2x2, inverse_2x2
 
+# test hook: force the Pallas patch-sampling path (interpret mode) off-TPU
+_FORCE_PALLAS = False
+
 __all__ = [
     "get_laf_scale",
     "set_laf_scale",
@@ -326,29 +329,44 @@ def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
     px = jnp.clip(px, 0.0, wl - 1.0)
     py = jnp.clip(py, 0.0, hl - 1.0) + off_t[lvl_c][..., None, None]
 
+    def _xla_sample():
+        nx = 2.0 * px / max(W - 1, 1) - 1.0
+        ny = 2.0 * py / max(Htot - 1, 1) - 1.0
+        grid = jnp.stack([nx, ny], axis=-1).reshape(B, N * PS, PS, 2)
+        from ..ops.warp import grid_sample
+        s = grid_sample(atlas, grid, "bilinear", "border", True)
+        return s.reshape(B, C, N, PS, PS).transpose(0, 2, 1, 3, 4)
+
     # TPU fast path: per-keypoint DMA window + 2-hot matmul bilinear in a
     # Pallas kernel — XLA's flat gather costs ~12 ns/element, which made
     # this stage the front end's biggest cost (ROADMAP round-3 profile).
-    # Guarantee for the kernel: every sample is within +-64 px of its
-    # (rect-clamped) center because the pyramid level is chosen so the
-    # LAF radius is < PS <= 64 px.
-    if (jax.default_backend() == "tpu" and B == 1 and C == 1
-            and W >= 256 and Htot >= 136 and PS <= 64):
+    # The kernel's window is bbox-anchored: coverage is exact while a
+    # keypoint's sample extent is <= 126 px per axis. For isotropic LAFs
+    # the pyramid level bounds the extent at 2*sqrt(2)*PS < 126 for
+    # PS <= 44; strongly ANISOTROPIC LAFs (e.g. elongated AffNet shapes,
+    # ADVICE r3 medium) can exceed it — those keypoints are detected with
+    # a per-keypoint mask and resampled through the XLA path, which only
+    # executes (lax.cond) when at least one oversized LAF is present.
+    use_pallas = (B == 1 and C == 1 and W >= 256 and Htot >= 136
+                  and PS <= 44
+                  and (jax.default_backend() == "tpu" or _FORCE_PALLAS))
+    if use_pallas:
         from ..ops.pallas_kernels import patch_sample_mxu
-        ctr_cx = jnp.clip(ctr[..., 0], 0.0, wl[..., 0, 0] - 1.0)
-        ctr_cy = jnp.clip(ctr[..., 1], 0.0, hl[..., 0, 0] - 1.0) \
-            + off_t[lvl_c]
-        centers = jnp.stack([ctr_cx[0], ctr_cy[0]], -1)  # (N, 2)
-        out = patch_sample_mxu(atlas[0, 0],
-                               px.reshape(N, PS * PS),
-                               py.reshape(N, PS * PS), centers)
+        pxf = px.reshape(N, PS * PS)
+        pyf = py.reshape(N, PS * PS)
+        fits = ((jnp.max(pxf, 1) - jnp.min(pxf, 1) <= 126.0)
+                & (jnp.max(pyf, 1) - jnp.min(pyf, 1) <= 126.0))  # (N,)
+        fast = patch_sample_mxu(
+            atlas[0, 0], pxf, pyf,
+            interpret=jax.default_backend() != "tpu")
+
+        def _mixed(_):
+            slow = _xla_sample()[0, :, 0].reshape(N, PS * PS)
+            return jnp.where(fits[:, None], fast, slow)
+
+        out = jax.lax.cond(jnp.all(fits), lambda _: fast, _mixed, None)
         out = out.reshape(1, N, 1, PS, PS)
         return jnp.where(in_range[:, :, None, None, None], out, 0.0)
 
-    nx = 2.0 * px / max(W - 1, 1) - 1.0
-    ny = 2.0 * py / max(Htot - 1, 1) - 1.0
-    grid = jnp.stack([nx, ny], axis=-1).reshape(B, N * PS, PS, 2)
-    from ..ops.warp import grid_sample
-    out = grid_sample(atlas, grid, "bilinear", "border", True)
-    out = out.reshape(B, C, N, PS, PS).transpose(0, 2, 1, 3, 4)
+    out = _xla_sample()
     return jnp.where(in_range[:, :, None, None, None], out, 0.0)

@@ -345,31 +345,45 @@ def _patch_sample_kernel(corners_ref, px_ref, py_ref, atlas_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def patch_sample_mxu(atlas: jax.Array, px: jax.Array, py: jax.Array,
-                     centers: jax.Array, interpret: bool = False
-                     ) -> jax.Array:
+                     interpret: bool = False) -> jax.Array:
     """Bilinear-sample S points per keypoint from a 2D atlas.
 
     atlas: (H, W) f32, W >= 256, H >= 136. px/py: (N, S) absolute pixel
-    coords with every sample within +-64 px of its keypoint's `centers`
-    (N, 2) xy — guaranteed by LAF pyramid-level selection (the level is
-    chosen so the patch radius is < PS <= 64 px, feature/laf.py:275).
+    coords. Each keypoint's DMA window is anchored at its SAMPLE BOUNDING
+    BOX (not a center): coverage is exact whenever the per-keypoint
+    extent max-min is <= 126 px per axis — twice the old center-anchored
+    budget, so moderately anisotropic LAFs fit (ADVICE r3 medium; callers
+    mask-and-fall-back past that, feature/laf.py). Samples outside the
+    window clamp to its border.
+
+    Alignment (ADVICE r3 high): the atlas is zero-padded to H % 8 == 0,
+    W % 128 == 0 so the corner clamp bounds (H-136, W-256) are sublane/
+    lane multiples — the kernel's `pl.multiple_of` DMA hints hold for
+    every corner, including windows clamped at the atlas edge. Padded
+    rows/cols are never sampled (coords stay inside the true atlas).
+
     Returns (N, S) samples, exact bilinear (matches the flat-gather
     grid_sample path to f32 rounding).
     """
     H, W = atlas.shape
     N, S = px.shape
+    Hp = -(-max(H, _WIN_H) // 8) * 8
+    Wp = -(-max(W, _WIN_W) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        atlas = jnp.pad(atlas, ((0, Hp - H), (0, Wp - W)))
+    # bbox corners BEFORE padding (zero-padded sample columns would drag
+    # the min to the origin and mis-anchor real keypoints' windows)
+    cx = jnp.clip(jnp.floor(jnp.min(px, 1)).astype(jnp.int32) // 128 * 128,
+                  0, Wp - _WIN_W)
+    cy = jnp.clip(jnp.floor(jnp.min(py, 1)).astype(jnp.int32) // 8 * 8,
+                  0, Hp - _WIN_H)
+    corners = jnp.stack([cy, cx], -1).astype(jnp.int32)  # (N, 2)
     Sp = -(-S // 8) * 8
     Np = -(-N // _KP_BLK) * _KP_BLK
     if Sp != S or Np != N:
         px = jnp.pad(px, ((0, Np - N), (0, Sp - S)))
         py = jnp.pad(py, ((0, Np - N), (0, Sp - S)))
-        centers = jnp.pad(centers, ((0, Np - N), (0, 0)),
-                          constant_values=64.0)
-    cx = jnp.clip((centers[:, 0].astype(jnp.int32) - 64) // 128 * 128,
-                  0, W - _WIN_W)
-    cy = jnp.clip((centers[:, 1].astype(jnp.int32) - 64) // 8 * 8,
-                  0, H - _WIN_H)
-    corners = jnp.stack([cy, cx], -1).astype(jnp.int32)  # (Np, 2)
+        corners = jnp.pad(corners, ((0, Np - N), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

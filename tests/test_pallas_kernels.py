@@ -6,6 +6,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _ref_bilinear(atlas, px, py):
+    a = np.asarray(atlas)
+    x = np.asarray(px)
+    y = np.asarray(py)
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    tx = x - x0
+    ty = y - y0
+    return (a[y0, x0] * (1 - tx) * (1 - ty)
+            + a[y0, x0 + 1] * tx * (1 - ty)
+            + a[y0 + 1, x0] * (1 - tx) * ty
+            + a[y0 + 1, x0 + 1] * tx * ty)
+
 
 class TestPatchSampleMXU:
     def test_matches_flat_bilinear(self):
@@ -15,25 +28,13 @@ class TestPatchSampleMXU:
         H, W = 300, 400
         atlas = jnp.asarray(rng.random((H, W)), jnp.float32)
         N, S = 7, 41 * 41
-        centers = jnp.asarray(rng.uniform([70, 70], [W - 70, H - 70],
-                                          (N, 2)), jnp.float32)
+        centers = rng.uniform([70, 70], [W - 70, H - 70], (N, 2))
         off = rng.uniform(-55, 55, (N, S, 2)).astype(np.float32)
-        px = jnp.asarray(np.asarray(centers)[:, None, 0] + off[..., 0])
-        py = jnp.asarray(np.asarray(centers)[:, None, 1] + off[..., 1])
-        out = patch_sample_mxu(atlas, px, py, centers, interpret=True)
-
-        a = np.asarray(atlas)
-        x = np.asarray(px)
-        y = np.asarray(py)
-        x0 = np.floor(x).astype(int)
-        y0 = np.floor(y).astype(int)
-        tx = x - x0
-        ty = y - y0
-        ref = (a[y0, x0] * (1 - tx) * (1 - ty)
-               + a[y0, x0 + 1] * tx * (1 - ty)
-               + a[y0 + 1, x0] * (1 - tx) * ty
-               + a[y0 + 1, x0 + 1] * tx * ty)
-        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+        px = jnp.asarray(centers[:, None, 0] + off[..., 0], jnp.float32)
+        py = jnp.asarray(centers[:, None, 1] + off[..., 1], jnp.float32)
+        out = patch_sample_mxu(atlas, px, py, interpret=True)
+        np.testing.assert_allclose(np.asarray(out),
+                                   _ref_bilinear(atlas, px, py), atol=1e-5)
 
     def test_odd_counts_padded(self):
         from kornia_tpu.ops.pallas_kernels import patch_sample_mxu
@@ -41,11 +42,101 @@ class TestPatchSampleMXU:
         rng = np.random.default_rng(1)
         atlas = jnp.asarray(rng.random((200, 300)), jnp.float32)
         N, S = 3, 19 * 19  # N not a multiple of the keypoint block
-        centers = jnp.asarray(rng.uniform([80, 80], [220, 120], (N, 2)),
-                              jnp.float32)
+        centers = rng.uniform([80, 80], [220, 120], (N, 2))
         off = rng.uniform(-20, 20, (N, S, 2)).astype(np.float32)
-        px = jnp.asarray(np.asarray(centers)[:, None, 0] + off[..., 0])
-        py = jnp.asarray(np.asarray(centers)[:, None, 1] + off[..., 1])
-        out = patch_sample_mxu(atlas, px, py, centers, interpret=True)
+        px = jnp.asarray(centers[:, None, 0] + off[..., 0], jnp.float32)
+        py = jnp.asarray(centers[:, None, 1] + off[..., 1], jnp.float32)
+        out = patch_sample_mxu(atlas, px, py, interpret=True)
         assert out.shape == (N, S)
-        assert bool(jnp.all(jnp.isfinite(out)))
+        np.testing.assert_allclose(np.asarray(out),
+                                   _ref_bilinear(atlas, px, py), atol=1e-5)
+
+    def test_unaligned_atlas_edge_windows(self):
+        """ADVICE r3 high: atlas shapes whose clamp bounds H-136 / W-256
+        are NOT sublane/lane multiples (e.g. 900x480 = the 480p SIFT
+        pyramid atlas) must still sample exactly at every edge — windows
+        clamped at the bottom/right atlas boundary included."""
+        from kornia_tpu.ops.pallas_kernels import patch_sample_mxu
+
+        rng = np.random.default_rng(2)
+        for H, W in [(900, 480), (299, 391), (137, 257)]:
+            atlas = jnp.asarray(rng.random((H, W)), jnp.float32)
+            N, S = 9, 25 * 25
+            # keypoints pushed into every corner + the exact edge band
+            cx = np.array([3, W - 4, 3, W - 4, W // 2, W - 4, 3, W // 2,
+                           W - 4], float)
+            cy = np.array([3, 3, H - 4, H - 4, H // 2, H // 2, H // 2,
+                           H - 4, H - 4], float)
+            off = rng.uniform(-30, 30, (N, S, 2)).astype(np.float32)
+            px = np.clip(cx[:, None] + off[..., 0], 0, W - 1.01)
+            py = np.clip(cy[:, None] + off[..., 1], 0, H - 1.01)
+            out = patch_sample_mxu(atlas, jnp.asarray(px, jnp.float32),
+                                   jnp.asarray(py, jnp.float32),
+                                   interpret=True)
+            # 1e-4: the f64-free numpy reference computes fractions at
+            # absolute coords (ulp ~6e-5 at y~900); the kernel subtracts
+            # the window corner first and is better conditioned
+            np.testing.assert_allclose(
+                np.asarray(out), _ref_bilinear(atlas, px, py), atol=1e-4,
+                err_msg=f"atlas {H}x{W}")
+
+    def test_bbox_anchoring_wide_extent(self):
+        """The window is anchored at the sample bbox: extents up to
+        126 px per axis are exact (twice the old center budget)."""
+        from kornia_tpu.ops.pallas_kernels import patch_sample_mxu
+
+        rng = np.random.default_rng(3)
+        H, W = 480, 640
+        atlas = jnp.asarray(rng.random((H, W)), jnp.float32)
+        N, S = 5, 32 * 32
+        centers = rng.uniform([100, 100], [W - 100, H - 100], (N, 2))
+        # anisotropic footprint: x extent ~124, y extent ~124
+        off = np.stack([rng.uniform(-62, 62, (N, S)),
+                        rng.uniform(-62, 62, (N, S))], -1).astype(np.float32)
+        px = jnp.asarray(centers[:, None, 0] + off[..., 0], jnp.float32)
+        py = jnp.asarray(centers[:, None, 1] + off[..., 1], jnp.float32)
+        out = patch_sample_mxu(atlas, px, py, interpret=True)
+        np.testing.assert_allclose(np.asarray(out),
+                                   _ref_bilinear(atlas, px, py), atol=1e-5)
+
+
+class TestAnisotropicLAFFallback:
+    def test_elongated_laf_matches_xla_path(self):
+        """ADVICE r3 medium: a strongly anisotropic LAF whose samples
+        exceed the DMA window must NOT silently clamp — the wrapper's
+        per-keypoint fits mask routes it through the XLA path."""
+        import kornia_tpu.feature.laf as laf_mod
+
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.random((1, 1, 480, 640)), jnp.float32)
+        # one isotropic LAF + one 8:1 elongated LAF (x radius ~128 px
+        # after level selection keeps sqrt-det radius small)
+        lafs = jnp.asarray([[
+            [[12.0, 0.0, 320.0], [0.0, 12.0, 240.0]],
+            [[90.0, 0.0, 300.0], [0.0, 11.0, 200.0]],
+        ]], jnp.float32)
+        ref = laf_mod.extract_patches_from_pyramid(img, lafs, PS=32)
+        laf_mod._FORCE_PALLAS = True
+        try:
+            fast = laf_mod.extract_patches_from_pyramid(img, lafs, PS=32)
+        finally:
+            laf_mod._FORCE_PALLAS = False
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_isotropic_laf_uses_pallas_exactly(self):
+        import kornia_tpu.feature.laf as laf_mod
+
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.random((1, 1, 256, 320)), jnp.float32)
+        lafs = jnp.asarray(
+            [[[[10.0, 0.0, 160.0], [0.0, 10.0, 128.0]],
+              [[7.0, 3.0, 60.0], [-3.0, 7.0, 200.0]]]], jnp.float32)
+        ref = laf_mod.extract_patches_from_pyramid(img, lafs, PS=32)
+        laf_mod._FORCE_PALLAS = True
+        try:
+            fast = laf_mod.extract_patches_from_pyramid(img, lafs, PS=32)
+        finally:
+            laf_mod._FORCE_PALLAS = False
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-4)
