@@ -12,6 +12,16 @@ Design (all static shapes, two jitted executables total):
     keypoints of frame i are shared between pairs (i-1, i) and (i, i+1),
     so the ratio of their triangulated depths recovers the relative
     translation scale (masked-median, robust to outliers).
+  * **Keyframe selection** (round-4): every frame is tracked against the
+    LAST KEYFRAME, and a frame is promoted to keyframe only when the
+    scale-free parallax (baseline / median triangulated depth of the
+    unit-baseline two-view solution) clears `kf_parallax`, matching
+    support vs the keyframe decays, or `kf_max_skip` frames have been
+    skipped. In-between frames get parallax-independent PnP poses
+    against the keyframe map; BA chains and refines KEYFRAMES only —
+    fewer, longer-baseline steps mean less compounded scale drift and a
+    better-conditioned triangulation (the standard fix for
+    small-baseline sequences; see ROADMAP "keyframe selection").
 """
 
 from __future__ import annotations
@@ -65,7 +75,9 @@ class VisualOdometry:
                  window: int = 5, ransac_iters: int = 8,
                  ransac_batch: int = 1024, inl_th_px: float = 1.5,
                  ba_iters: int = 12, matcher_th: float = 0.95,
-                 global_ba_frames: int = 128):
+                 global_ba_frames: int = 128,
+                 kf_parallax: float = 0.022, kf_max_skip: int = 6,
+                 kf_min_matches: int = 48, kf_match_decay: float = 0.45):
         self.K = K
         self.window = window
         self.ba_iters = ba_iters
@@ -75,6 +87,12 @@ class VisualOdometry:
         self.inl_th_px = inl_th_px
         self.matcher_th = matcher_th
         self.pnp_min_inliers = 20
+        # keyframe promotion: parallax gate (baseline / median depth —
+        # scale-free), with forced promotion on match decay or max skip
+        self.kf_parallax = kf_parallax
+        self.kf_max_skip = kf_max_skip
+        self.kf_min_matches = kf_min_matches
+        self.kf_match_decay = kf_match_decay
         # corners (GFTT) give denser, better-distributed tracks than DoG
         # blobs for frame-to-frame odometry
         self.feature = GFTTSIFTFeature(num_features=num_features)
@@ -203,13 +221,29 @@ class VisualOdometry:
 
             good = track_mask & (z0 > 1e-3) & (z1 > 1e-3) \
                 & (jnp.linalg.norm(t_rel) > 1e-6)
-            depth_next = jnp.zeros_like(depth_prev)
-            depth_next = depth_next.at[idx[:, 1]].set(
-                jnp.where(good, z1, 0.0))
+            # map densification (VERDICT r3 item 1): a matched keypoint
+            # whose fresh triangulation fails the gate (low parallax,
+            # cheirality) but which carries a map depth keeps it — the
+            # depth is PROPAGATED through the relative motion instead of
+            # dropped. Denser per-frame maps raise both PnP tracking
+            # support and loop-closure verification margins.
+            z_prop = (Xc0 @ R_rel.T + t_rel)[:, 2]
+            prop_ok = track_mask & (depth_prev > 0.0) & (z_prop > 1e-3)
+            val = jnp.where(good, z1, jnp.where(prop_ok, z_prop, 0.0))
+            # .max scatter: duplicate/invalid indices write 0 and can
+            # never clobber a real depth
+            depth_next = jnp.zeros_like(depth_prev).at[idx[:, 1]].max(val)
+            # scale-free parallax of this pair: the unit-baseline
+            # triangulation has baseline 1, so baseline/median-depth is
+            # 1/median(z). Drives keyframe promotion host-side.
+            zmed_u = _masked_median(zu0, good_u, fill=1e6)
+            parallax = 1.0 / jnp.maximum(zmed_u, 1e-6)
             diag = jnp.stack([jnp.sum(map_ok).astype(jnp.float32),
                               n_p.astype(jnp.float32),
                               use_pnp.astype(jnp.float32),
-                              n_2v.astype(jnp.float32), scale])
+                              n_2v.astype(jnp.float32), scale,
+                              parallax,
+                              jnp.sum(mvalid).astype(jnp.float32)])
             return R1, t1, inliers, n_inl, depth_next, idx, track_mask, diag
 
         self._pair_jit = fn
@@ -236,75 +270,138 @@ class VisualOdometry:
 
         poses = [np.eye(4)]
         inliers = []
-        kps_np: List[np.ndarray] = []
-        pair_next: List[np.ndarray] = []  # per pair: (K,) next-frame index
-        pair_inl: List[np.ndarray] = []  # per pair: (K,) inlier mask
+        # keyframe bookkeeping: every frame is tracked against the LAST
+        # KEYFRAME; BA chains keyframes only
+        kf_frames: List[int] = [0]  # frame index per keyframe
+        kf_kps: List[np.ndarray] = []  # keypoints per keyframe
+        kf_next: List[np.ndarray] = []  # per kf pair: (K,) next-kf index
+        kf_inl: List[np.ndarray] = []  # per kf pair: (K,) track mask
+        # non-keyframe anchors: frame -> (kf position, T_rel) so refined
+        # keyframe poses re-anchor the in-between frames at the end
+        anchors: Dict[int, Tuple[int, np.ndarray]] = {}
+        # frames before the first promoted pair (which defines the world
+        # scale) get retro-rescaled by their parallax ratio
+        pre_boot: List[Tuple[int, float]] = []
         # per-frame cache for loop closure (slam/loop_closure.py): keypoints,
         # descriptors, validity, and the frame's map-depth table
         self.frame_cache: List[Dict[str, np.ndarray]] = []
-        kp_prev, d_prev, v_prev = detect(frames[0])
-        kps_np.append(np.asarray(kp_prev))
-        self.frame_cache.append({"kp": np.asarray(kp_prev),
-                                 "desc": np.asarray(d_prev),
-                                 "valid": np.asarray(v_prev),
-                                 "depth": np.zeros(kp_prev.shape[0],
+        kp_kf, d_kf, v_kf = detect(frames[0])
+        kf_kps.append(np.asarray(kp_kf))
+        self.frame_cache.append({"kp": np.asarray(kp_kf),
+                                 "desc": np.asarray(d_kf),
+                                 "valid": np.asarray(v_kf),
+                                 "depth": np.zeros(kp_kf.shape[0],
                                                    np.float32)})
-        Kf = kp_prev.shape[0]
-        depth_prev = jnp.zeros((Kf,), jnp.float32)
-        has_prev = jnp.asarray(False)
-        R_prev = jnp.eye(3, dtype=jnp.float32)
-        t_prev = jnp.zeros(3, jnp.float32)
+        Kf = kp_kf.shape[0]
+        depth_kf = jnp.zeros((Kf,), jnp.float32)
+        has_map = jnp.asarray(False)
+        R_kf = jnp.eye(3, dtype=jnp.float32)
+        t_kf = jnp.zeros(3, jnp.float32)
+        bootstrapped = False
+        n_match_kf = Kf  # match support at the last promotion
+        skipped = 0
         W = self.window
         for i in range(1, len(frames)):
             key, sub = jax.random.split(key)
             kp_cur, d_cur, v_cur = detect(frames[i])
-            (R_cur, t_cur, inl, n_inl, depth_prev, idx, track_mask,
+            (R_cur, t_cur, inl, n_inl, depth_cur, idx, track_mask,
              diag) = pair(
-                kp_prev, d_prev, v_prev, kp_cur, d_cur, v_cur,
-                self.K, sub, inl_th, depth_prev, has_prev, R_prev, t_prev)
-            has_prev = jnp.asarray(True)
+                kp_kf, d_kf, v_kf, kp_cur, d_cur, v_cur,
+                self.K, sub, inl_th, depth_kf, has_map, R_kf, t_kf)
+            d = np.asarray(diag)
+            parallax = float(d[5])
+            n_match = int(d[6])
             M = np.eye(4)
             M[:3, :3] = np.asarray(R_cur)
             M[:3, 3] = np.asarray(t_cur)
             poses.append(M)
             inliers.append(int(n_inl))
+            promote = (parallax >= self.kf_parallax
+                       or skipped >= self.kf_max_skip
+                       or n_match < max(self.kf_min_matches,
+                                        self.kf_match_decay * n_match_kf)
+                       or i == len(frames) - 1)
             if verbose:
-                d = np.asarray(diag)
                 print(f"  [vo] frame {i}: map={int(d[0])} pnp_inl={int(d[1])} "
                       f"use_pnp={bool(d[2])} n_2v={int(d[3])} "
-                      f"scale={d[4]:.3f}")
-            kps_np.append(np.asarray(kp_cur))
-            pair_next.append(np.asarray(idx[:, 1]))
+                      f"scale={d[4]:.3f} plx={parallax:.4f} "
+                      f"match={n_match} kf={promote}")
+            if not promote:
+                if not bootstrapped:
+                    # no world scale yet: unit-baseline two-view pose,
+                    # rescaled once the first keyframe pair fixes scale
+                    pre_boot.append((i, parallax))
+                else:
+                    kf_pose = poses[kf_frames[-1]]
+                    anchors[i] = (len(kf_frames) - 1,
+                                  M @ np.linalg.inv(kf_pose))
+                skipped += 1
+                self.frame_cache.append({"kp": np.asarray(kp_cur),
+                                         "desc": np.asarray(d_cur),
+                                         "valid": np.asarray(v_cur),
+                                         "depth": np.asarray(depth_cur)})
+                continue
+            # --- keyframe promotion -----------------------------------
+            if not bootstrapped and pre_boot:
+                # the promoted pair's unit baseline defines the world
+                # scale; earlier skipped frames observed parallax p_i at
+                # unit baseline too, so their true baseline fraction is
+                # p_i / p_promoted
+                p_p = max(parallax, 1e-6)
+                for fi, p_i in pre_boot:
+                    poses[fi][:3, 3] *= min(p_i / p_p, 1.0)
+                    anchors[fi] = (0, poses[fi].copy())
+                pre_boot = []
+            bootstrapped = True
+            kf_pos = len(kf_frames)
+            kf_frames.append(i)
+            kf_kps.append(np.asarray(kp_cur))
+            kf_next.append(np.asarray(idx[:, 1]))
             # BA tracks use the loose either-model gate, NOT the tight
             # RANSAC inliers: a wrong-but-high-scoring two-view model gates
             # in exactly the observations that reproduce it — the robust
             # multi-view BA must see wider evidence to break ties
-            pair_inl.append(np.asarray(track_mask))
-            if refine and i >= 2:
+            kf_inl.append(np.asarray(track_mask))
+            n_match_kf = max(n_match, 1)
+            skipped = 0
+            depth_kf = depth_cur
+            has_map = jnp.asarray(True)
+            if refine and kf_pos >= 2:
                 # incremental local BA (ORB-SLAM local-mapping role): refine
-                # the last <=W poses NOW, before the next tracking step —
-                # a bad step is corrected before its error contaminates
-                # the map and downstream initializations
-                s = max(0, i - W + 1)
-                ba_depth = self._refine_span(kps_np, pair_next, pair_inl,
-                                             poses, s, i - s + 1)
+                # the last <=W keyframes NOW, before the next tracking
+                # step — a bad step is corrected before its error
+                # contaminates the map and downstream initializations
+                s = max(0, kf_pos - W + 1)
+                kf_poses = [poses[k] for k in kf_frames]
+                ba_depth = self._refine_span(kf_kps, kf_next, kf_inl,
+                                             kf_poses, s, kf_pos - s + 1)
+                for j, k in enumerate(kf_frames):
+                    poses[k] = kf_poses[j]
                 if ba_depth is not None:
                     # PnP tracks against the BA-refined map where
                     # available; pair-triangulated depths fill the gaps
                     # (new tracks not yet in a refined window)
                     ba_d = jnp.asarray(ba_depth)
-                    depth_prev = jnp.where(ba_d > 0.0, ba_d, depth_prev)
-            R_prev = jnp.asarray(poses[i][:3, :3], jnp.float32)
-            t_prev = jnp.asarray(poses[i][:3, 3], jnp.float32)
+                    depth_kf = jnp.where(ba_d > 0.0, ba_d, depth_kf)
+            R_kf = jnp.asarray(poses[i][:3, :3], jnp.float32)
+            t_kf = jnp.asarray(poses[i][:3, 3], jnp.float32)
             self.frame_cache.append({"kp": np.asarray(kp_cur),
                                      "desc": np.asarray(d_cur),
                                      "valid": np.asarray(v_cur),
-                                     "depth": np.asarray(depth_prev)})
-            kp_prev, d_prev, v_prev = kp_cur, d_cur, v_cur
-        if refine and 3 <= len(frames) <= self.global_ba_frames:
-            # final smoothing pass over the whole sequence (gauge anchored
-            # at the first two poses only)
-            poses = self._refine_tracks(kps_np, pair_next, pair_inl, poses)
+                                     "depth": np.asarray(depth_kf)})
+            kp_kf, d_kf, v_kf = kp_cur, d_cur, v_cur
+        if refine and 3 <= len(kf_frames) <= self.global_ba_frames:
+            # final smoothing pass over the keyframe chain (gauge anchored
+            # at the first two keyframes only)
+            kf_poses = [poses[k] for k in kf_frames]
+            kf_poses = self._refine_tracks(kf_kps, kf_next, kf_inl,
+                                           kf_poses)
+            for j, k in enumerate(kf_frames):
+                poses[k] = kf_poses[j]
+        # re-anchor non-keyframe poses onto the refined keyframe chain
+        for fi, (kpos, T_rel) in anchors.items():
+            poses[fi] = T_rel @ poses[kf_frames[kpos]]
+        self.kf_frames = kf_frames
         return VOResult(poses=poses, num_inliers=inliers)
 
     # -- sliding-window BA over chained tracks ----------------------------

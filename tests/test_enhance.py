@@ -55,8 +55,15 @@ class TestAdjust:
         assert float(out.reshape(())) in (0.0, 0.5, 128 / 255.0)
 
     def test_posterize_8bits_identity(self, img):
+        # bits=8 is EXACT identity (reference adjust.py posterize doctest
+        # asserts torch.testing.assert_close(x, out) — no uint8 round trip)
         out = E.posterize(img, 8)
-        q = jnp.floor(img * 255.0) / 255.0
+        np.testing.assert_allclose(out, img, atol=0.0)
+
+    def test_posterize_7bits_quantizes(self, img):
+        out = E.posterize(img, 7)
+        q = jnp.floor(img * 255.0).astype(jnp.int32)
+        q = ((q >> 1) << 1).astype(jnp.float32) / 255.0
         np.testing.assert_allclose(out, q, atol=1e-6)
 
     def test_sharpness(self, img):
