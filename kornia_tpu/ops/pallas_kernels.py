@@ -21,7 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["streaming_min2", "match_nn_pallas", "match_smnn_pallas",
-           "fused_separable_blur2d"]
+           "fused_separable_blur2d", "multi_level_blur"]
 
 _BIG = 1e9  # plain float: jnp constants can't be captured inside kernels
 
@@ -276,6 +276,154 @@ def fused_separable_blur2d(x: jax.Array, kernel_y: jax.Array,
     raise ValueError(f"unknown fused-blur variant: {variant!r}")
 
 
+# -----------------------------------------------------------------------------
+# Multi-level blur: every pyramid level of an octave in ONE pallas_call
+# -----------------------------------------------------------------------------
+
+
+def _ml_blur_kernel(x_ref, sv_ref, sh_ref, o_ref):
+    """One (level, image-block) program: out = SV_l · x · SH_lᵀ."""
+    x = x_ref[...]                            # (NB, H, W)
+    sv = sv_ref[0]                            # (H, H)
+    sh = sh_ref[0]                            # (W, W)
+    acc = jax.lax.dot_general(
+        sv, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # (H, NB, W)
+    out = jax.lax.dot_general(
+        acc, sh, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # (H, NB, W)
+    o_ref[...] = jnp.swapaxes(out, 0, 1)[None].astype(o_ref.dtype)
+
+
+def _ml_blur_raw(xf: jax.Array, SV: jax.Array, SH: jax.Array,
+                 interpret: bool) -> jax.Array:
+    """(L, N, H, W) levels from base xf (N, H, W) and per-level cumulative
+    band operators SV (L, H, H), SH (L, W, W)."""
+    L = SV.shape[0]
+    N, H, W = xf.shape
+    per_img = 3 * H * W * 4
+    fixed = (H * H + W * W) * 4
+    NB = 1
+    # NB in {8, 1} ONLY (see _mm2_pallas_raw: Mosaic shape-cast limits)
+    if N % 8 == 0 and 8 * per_img + fixed <= 6 * 1024 * 1024:
+        NB = 8
+    return pl.pallas_call(
+        _ml_blur_kernel,
+        grid=(L, N // NB),
+        in_specs=[
+            pl.BlockSpec((NB, H, W), lambda l, n: (n, 0, 0)),
+            pl.BlockSpec((1, H, H), lambda l, n: (l, 0, 0)),
+            pl.BlockSpec((1, W, W), lambda l, n: (l, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NB, H, W), lambda l, n: (l, n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, N, H, W), xf.dtype),
+        interpret=interpret,
+    )(xf.astype(jnp.float32), SV, SH)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ml_op(xf, SV, SH, interpret):
+    return _ml_blur_raw(xf, SV, SH, interpret)
+
+
+def _ml_fwd(xf, SV, SH, interpret):
+    return _ml_op(xf, SV, SH, interpret), (SV, SH)
+
+
+def _ml_adj_kernel(g_ref, sv_ref, sh_ref, o_ref):
+    """Adjoint program: per-level dx_l = SV_lᵀ g_l SH_l."""
+    g = g_ref[0]                              # (NB, H, W)
+    sv = sv_ref[0]                            # (H, H) — already transposed
+    sh = sh_ref[0]                            # (W, W)
+    acc = jax.lax.dot_general(
+        sv, g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    out = jax.lax.dot_general(
+        acc, sh, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    o_ref[...] = jnp.swapaxes(out, 0, 1)[None].astype(o_ref.dtype)
+
+
+def _ml_bwd(interpret, res, g):
+    """Adjoint of out_l = SV_l x SH_lᵀ: dx = Σ_l SV_lᵀ g_l SH_l. The
+    operators derive from STATIC sigmas (never trained): zero grads."""
+    SV, SH = res
+    L, N, H, W = g.shape
+    per_img = 3 * H * W * 4
+    fixed = (H * H + W * W) * 4
+    NB = 8 if (N % 8 == 0 and 8 * per_img + fixed <= 6 * 1024 * 1024) else 1
+    dx_l = pl.pallas_call(
+        _ml_adj_kernel,
+        grid=(L, N // NB),
+        in_specs=[
+            pl.BlockSpec((1, NB, H, W), lambda l, n: (l, n, 0, 0)),
+            pl.BlockSpec((1, H, H), lambda l, n: (l, 0, 0)),
+            pl.BlockSpec((1, W, W), lambda l, n: (l, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NB, H, W), lambda l, n: (l, n, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, N, H, W), jnp.float32),
+        interpret=interpret,
+    )(g.astype(jnp.float32), jnp.swapaxes(SV, 1, 2),
+      jnp.swapaxes(SH, 1, 2))
+    return jnp.sum(dx_l, 0), jnp.zeros_like(SV), jnp.zeros_like(SH)
+
+
+_ml_op.defvjp(_ml_fwd, _ml_bwd)
+
+
+def multi_level_blur(x: jax.Array, kernels_y, kernels_x,
+                     border_type: str = "replicate",
+                     interpret: bool = False,
+                     variant: str = "pallas") -> jax.Array:
+    """All L blur levels of a scale-pyramid octave in ONE kernel call.
+
+    The sequential chain level_i = blur(level_{i-1}, k_i) is expressed as
+    cumulative banded-operator products: level_i = (Sv_i···Sv_1) · base ·
+    (Sh_1ᵀ···Sh_iᵀ) — EXACTLY the sequential semantics (operator
+    composition folds each step's border rule), with every level
+    independent, so one pallas_call with grid (L, N) replaces ~L
+    serialized blur dispatches (ROOFLINE "What this says" #3a: per-level
+    shapes under-tile the MXU and the dependency chain serializes DMA).
+
+    x: (B, C, H, W) base level; kernels_y/x: list of L 1-D incremental
+    kernels (level i's blur relative to level i-1). Returns
+    (L, B, C, H, W) — level 0 is kernels[0] applied to x (pass a trivial
+    [1.0] kernel to keep the base unblurred).
+    """
+    B, C, H, W = x.shape
+    L = len(kernels_y)
+    sv_list, sh_list = [], []
+    SVc = jnp.eye(H, dtype=jnp.float32)
+    SHc = jnp.eye(W, dtype=jnp.float32)
+    for ky, kx in zip(kernels_y, kernels_x):
+        SVc = _cum_op(_band_matrix(jnp.reshape(ky, (-1,)), H, border_type),
+                      SVc)
+        SHc = _cum_op(_band_matrix(jnp.reshape(kx, (-1,)), W, border_type),
+                      SHc)
+        sv_list.append(SVc)
+        sh_list.append(SHc)
+    SV = jnp.stack(sv_list)
+    SH = jnp.stack(sh_list)
+    xf = x.reshape(B * C, H, W).astype(jnp.float32)
+    if variant == "xla":
+        acc = jnp.einsum("lih,nhw->lniw", SV, xf,
+                         precision=jax.lax.Precision.HIGHEST)
+        out = jnp.einsum("lniw,ljw->lnij", acc, SH,
+                         precision=jax.lax.Precision.HIGHEST)
+    else:
+        out = _ml_op(xf, SV, SH, interpret)
+    return out.reshape(L, B, C, H, W).astype(x.dtype)
+
+
+def _cum_op(step: jax.Array, cum: jax.Array) -> jax.Array:
+    """step @ cum at full f32 precision (cumulative operator product)."""
+    return jnp.matmul(step, cum, precision=jax.lax.Precision.HIGHEST)
+
+
 # ---------------------------------------------------------------------------
 # Affine patch sampling: per-keypoint DMA window + 2-hot matmul bilinear
 # ---------------------------------------------------------------------------
@@ -288,14 +436,22 @@ _KP_BLK = 8  # keypoints per program (sublane-aligned block)
 
 
 def _patch_sample_kernel(corners_ref, px_ref, py_ref, atlas_ref, out_ref,
-                         win_ref, sem_ref):
+                         win_ref, sem_ref, *, mode="split"):
     """8 keypoints per program: DMA each keypoint's (136, 256) atlas
     window into VMEM, then evaluate all S bilinear samples with TWO dense
-    ops — a (S, 136) 2-hot row-interp matrix matmul'd against the window
+    ops — a (S, 136) row-select matrix matmul'd against the window
     on the MXU, and a lane-wise 2-hot column select-reduce on the VPU. No
     per-element gather ever happens: XLA's TPU gather costs ~12 ns per
     element (measured, ROADMAP.md round-3 profile), which made LAF patch
-    extraction the front end's biggest stage."""
+    extraction the front end's biggest stage.
+
+    mode="split" (default): the row pass runs at FULL bf16 MXU rate —
+    the selector matrices are exact ONE-HOT (0/1 is bf16-exact) and the
+    window is hi/lo bf16-split (hi = bf16 round, lo = residual), so four
+    DEFAULT-precision matmuls reconstruct the f32 row values to within
+    2^-18 ≈ 4e-6 absolute on [0,1] images — 3x fewer MXU passes than
+    mode="highest" (one 6-pass HIGHEST matmul of fractional weights,
+    bit-comparable to the XLA f32 path; Mosaic has no 3-pass HIGH)."""
     n = pl.program_id(0)
 
     def dma_for(nb, slot):
@@ -326,16 +482,29 @@ def _patch_sample_kernel(corners_ref, px_ref, py_ref, atlas_ref, out_ref,
         S = x.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (S, _WIN_H), 1)
         y0i = y0.astype(jnp.int32)[:, None]
-        wy = (jnp.where(rows == y0i, 1.0 - ty[:, None], 0.0)
-              + jnp.where(rows == y0i + 1, ty[:, None], 0.0))
-        # HIGHEST: the 2-hot interp weights and the image must not
-        # round to bf16 (default MXU precision costs ~4e-3 on [0,1]
-        # images; Mosaic supports only DEFAULT/HIGHEST). ~13 ms device
-        # for 1024x41^2 — the 6-pass-f32 MXU roofline of this shape —
-        # vs ~56 ms for the XLA flat-gather path it replaces.
-        P = jax.lax.dot(wy, win_ref[slot],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # (S, 256)
+        if mode == "split":
+            w0 = win_ref[slot]
+            hi = w0.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = w0 - hi
+            oh0 = (rows == y0i).astype(jnp.float32)
+            oh1 = (rows == y0i + 1).astype(jnp.float32)
+
+            def _sel(oh):
+                return (jax.lax.dot(oh, hi,
+                                    preferred_element_type=jnp.float32)
+                        + jax.lax.dot(oh, lo,
+                                      preferred_element_type=jnp.float32))
+
+            P = (1.0 - ty[:, None]) * _sel(oh0) + ty[:, None] * _sel(oh1)
+        else:
+            wy = (jnp.where(rows == y0i, 1.0 - ty[:, None], 0.0)
+                  + jnp.where(rows == y0i + 1, ty[:, None], 0.0))
+            # HIGHEST: the 2-hot interp weights and the image must not
+            # round to bf16 (default MXU precision costs ~4e-3 on [0,1]
+            # images; Mosaic supports only DEFAULT/HIGHEST).
+            P = jax.lax.dot(wy, win_ref[slot],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # (S, 256)
         cols = jax.lax.broadcasted_iota(jnp.int32, (S, _WIN_W), 1)
         x0i = x0.astype(jnp.int32)[:, None]
         wx = (jnp.where(cols == x0i, 1.0 - tx[:, None], 0.0)
@@ -343,9 +512,10 @@ def _patch_sample_kernel(corners_ref, px_ref, py_ref, atlas_ref, out_ref,
         out_ref[nb, :] = jnp.sum(P * wx, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mode"))
 def patch_sample_mxu(atlas: jax.Array, px: jax.Array, py: jax.Array,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     mode: str = "split") -> jax.Array:
     """Bilinear-sample S points per keypoint from a 2D atlas.
 
     atlas: (H, W) f32, W >= 256, H >= 136. px/py: (N, S) absolute pixel
@@ -400,7 +570,7 @@ def patch_sample_mxu(atlas: jax.Array, px: jax.Array, py: jax.Array,
         ],
     )
     out = pl.pallas_call(
-        _patch_sample_kernel,
+        functools.partial(_patch_sample_kernel, mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np, Sp), jnp.float32),
         interpret=interpret,

@@ -130,6 +130,21 @@ class ScalePyramid:
         ksize = 2 * int(math.ceil(4.0 * sigma)) + 1
         return max(ksize, 3)
 
+    def _level_kernels(self, cur_sigma: float) -> Tuple[list, list]:
+        """Incremental 1-D gaussian kernels for levels 1..L-1 plus the
+        level sigmas (static floats — identical to the sequential loop)."""
+        L = self.n_levels + self.extra_levels
+        kernels, sigmas = [], []
+        level_sigma = cur_sigma
+        for _ in range(1, L):
+            target = level_sigma * self.sigma_step
+            sigma_diff = math.sqrt(max(target**2 - level_sigma**2, 1e-12))
+            ksize = self.get_kernel_size(sigma_diff)
+            kernels.append(get_gaussian_kernel1d(ksize, sigma_diff))
+            level_sigma = target
+            sigmas.append(level_sigma)
+        return kernels, sigmas
+
     def __call__(self, input: jax.Array
                  ) -> Tuple[List[jax.Array], List[jax.Array], List[jax.Array]]:
         """Returns (pyramid levels per octave (B, L, C, h, w),
@@ -143,18 +158,25 @@ class ScalePyramid:
         dists_out = []
         oct_count = self.n_octaves(x.shape[-2], x.shape[-1])
         for o in range(oct_count):
-            levels = [cur]
-            sigmas = [cur_sigma * pixel_dist]
-            level_sigma = cur_sigma
-            for i in range(1, L):
-                target = level_sigma * self.sigma_step
-                sigma_diff = math.sqrt(max(target**2 - level_sigma**2, 1e-12))
-                ksize = self.get_kernel_size(sigma_diff)
-                levels.append(
-                    gaussian_blur2d(levels[-1], ksize, sigma_diff,
-                                    border_type="replicate"))
-                level_sigma = target
-                sigmas.append(level_sigma * pixel_dist)
+            h_o, w_o = cur.shape[-2:]
+            kernels, lvl_sigmas = self._level_kernels(cur_sigma)
+            sigmas = [cur_sigma * pixel_dist] + \
+                [s * pixel_dist for s in lvl_sigmas]
+            if (jax.default_backend() == "tpu" and 32 <= h_o <= 768
+                    and 32 <= w_o <= 768):
+                # every level of the octave in ONE pallas_call: the
+                # sequential blur chain as cumulative banded-operator
+                # products (exact semantics, no inter-level dependency —
+                # ROOFLINE item 3a)
+                from .pallas_kernels import multi_level_blur
+                lv = multi_level_blur(cur, kernels, kernels,
+                                      border_type="replicate")
+                levels = [cur] + [lv[i] for i in range(L - 1)]
+            else:
+                levels = [cur]
+                for k in kernels:
+                    levels.append(filter2d_separable(
+                        levels[-1], k, k, border_type="replicate"))
             stack = jnp.stack(levels, axis=1)  # (B, L, C, h, w)
             octaves.append(stack)
             sigmas_out.append(jnp.broadcast_to(
