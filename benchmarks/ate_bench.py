@@ -100,6 +100,10 @@ def main():
     ap.add_argument("--save", action="store_true",
                     help="write repo-root ATE_RESULTS.json (picked up by "
                          "bench.py as headline metadata)")
+    ap.add_argument("--kf-parallax", type=float, default=None,
+                    help="override VisualOdometry keyframe parallax gate")
+    ap.add_argument("--seqs", type=str, default=None,
+                    help="comma-separated prefixes to run (walk,orbit,loop)")
     args = ap.parse_args()
 
     import jax
@@ -129,6 +133,14 @@ def main():
         seqs.append(("loop (closed circuit)",
                      loop_trajectory(args.frames, rx=1.2, rz=2.4)))
 
+    if args.seqs:
+        pref = tuple(s.strip() for s in args.seqs.split(","))
+        seqs = [(n, t) for n, t in seqs if n.startswith(pref)]
+
+    vo_kw = {}
+    if args.kf_parallax is not None:
+        vo_kw["kf_parallax"] = args.kf_parallax
+
     rows = []
     for name, traj in seqs:
         frames, _ = render_sequence(scene, K, traj, H, W)
@@ -137,7 +149,7 @@ def main():
         gt_c = cam_centers(traj)
         L = float(np.sum(np.linalg.norm(np.diff(gt_c, axis=0), axis=1)))
         vo = VisualOdometry(K, num_features=args.features,
-                            ransac_iters=8, ransac_batch=1024)
+                            ransac_iters=8, ransac_batch=1024, **vo_kw)
 
         t0 = time.perf_counter()
         res_ch = vo.run(frames, refine=False)

@@ -77,3 +77,75 @@ def test_distributed_closes_large_drift():
     part = partition_pose_graph(src, dst, np.ones(E, bool), N, 8)
     pd, cd = distributed_pose_graph(mesh, poses0, graph, part, num_iters=15)
     assert float(cd[-1]) < 1e-6 * float(cd[0])
+
+
+def test_streaming_matches_dense_path():
+    """Matrix-free block-CSR/PCG separator solve must agree with the
+    dense Schur path on the same partition (to CG tolerance)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kornia_tpu.parallel.dist_posegraph import (
+        distributed_pose_graph_streaming)
+    poses0, graph, src, dst, N, E = _loop_graph()
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    part = partition_pose_graph(src, dst, np.ones(E, bool), N, 8)
+    pd, cd = distributed_pose_graph(mesh, poses0, graph, part, num_iters=12)
+    pstr, cstr = distributed_pose_graph_streaming(
+        mesh, poses0, graph, part, num_iters=12)
+    assert float(cstr[-1]) < 1e-9
+    assert float(jnp.abs(pstr.t - pd.t).max()) < 1e-3
+    qd, qs = np.asarray(pd.r.q.data), np.asarray(pstr.r.q.data)
+    np.testing.assert_allclose(np.abs(np.sum(qd * qs, -1)), 1.0, atol=1e-5)
+
+
+def test_streaming_beyond_vmem_separator_scale():
+    """A map whose separator system would NOT fit the dense path's
+    VMEM-resident (K*6)^2 Schur complement: a trajectory with many
+    cross-submap loop edges drives K to ~600 separators -> the dense S
+    is (3600, 3600) PER DEVICE plus an O(K^2) psum; the streaming path
+    touches only O(K) per matvec. Checks convergence + accuracy against
+    ground truth (no dense run at this scale — that is the point)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kornia_tpu.parallel.dist_posegraph import (
+        distributed_pose_graph_streaming)
+    N = 1024
+    rng = np.random.default_rng(0)
+    angles = np.linspace(0, 2 * np.pi, N, endpoint=False)
+    t_gt = np.stack([np.cos(angles) * 20, np.sin(angles) * 20,
+                     0.5 * np.sin(3 * angles)], -1)
+    yaw = angles + np.pi / 2
+    q_gt = np.stack([np.cos(yaw / 2), np.zeros(N), np.zeros(N),
+                     np.sin(yaw / 2)], -1)
+    poses_gt = Se3(So3.from_wxyz(jnp.asarray(q_gt)), jnp.asarray(t_gt))
+    # odometry chain + 300 random long-range edges => several hundred
+    # separators under an 8-way contiguous partition
+    src = list(range(N - 1))
+    dst = list(range(1, N))
+    extra = rng.integers(0, N, size=(340, 2))
+    extra = extra[np.abs(extra[:, 0] - extra[:, 1]) > N // 8]
+    src += extra[:, 0].tolist()
+    dst += extra[:, 1].tolist()
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    E = src.shape[0]
+    Ti = Se3(So3.from_wxyz(poses_gt.r.q.data[src]), poses_gt.t[src])
+    Tj = Se3(So3.from_wxyz(poses_gt.r.q.data[dst]), poses_gt.t[dst])
+    graph = PoseGraph(jnp.asarray(src), jnp.asarray(dst),
+                      Ti.inverse() * Tj, jnp.ones(E), jnp.ones(E, bool))
+    noise = 0.03 * jax.random.normal(jax.random.PRNGKey(7), (N, 6))
+    noise = noise.at[0].set(0.0)
+    dT = Se3.exp(noise)
+    poses0 = Se3(dT.r * poses_gt.r,
+                 jnp.einsum("nij,nj->ni", dT.r.matrix(), poses_gt.t) + dT.t)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    part = partition_pose_graph(src, dst, np.ones(E, bool), N, 8)
+    assert part.num_separators >= 350, part.num_separators
+    pstr, cstr = distributed_pose_graph_streaming(
+        mesh, poses0, graph, part, num_iters=12, cg_iters=100)
+    # f32 PCG plateaus around 1e-6 relative (the dense Cholesky path
+    # reaches ~1e-9); the trajectory check below is the real bar
+    assert float(cstr[-1]) < 1e-5 * float(cstr[0])
+    # recovered trajectory matches GT after the gauge anchor
+    err = float(jnp.abs(pstr.t - poses_gt.t).max())
+    assert err < 0.05, err
