@@ -1,0 +1,275 @@
+"""Property-based sweeps for the geometric-estimation stack (VERDICT r3
+item 4): synthetic scenes with known ground truth, randomized over
+configuration — estimators must recover the truth at every draw, not
+just at one blessed seed/shape.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kornia_tpu as kt
+from kornia_tpu.geometry.epipolar import (
+    essential_from_Rt, find_fundamental, fundamental_from_essential,
+    motion_from_essential_choose_solution, projection_from_KRt,
+    sampson_epipolar_distance, triangulate_points)
+from kornia_tpu.geometry.homography import find_homography_dlt
+from kornia_tpu.geometry.calibration import pnp_ransac, solve_pnp_dlt
+
+
+def _two_view(key, n=64, noise=0.0, depth=4.0):
+    """Synthetic calibrated two-view scene; returns (x0, x1, R, t, X)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    X = jax.random.normal(k1, (n, 3)) * jnp.asarray([1.5, 1.0, 0.8]) \
+        + jnp.asarray([0.0, 0.0, depth])
+    aa = 0.15 * jax.random.normal(k2, (3,))
+    R = kt.geometry.axis_angle_to_rotation_matrix(aa[None])[0]
+    t = jnp.asarray([0.6, 0.1, 0.05])
+    x0 = X[:, :2] / X[:, 2:]
+    Xc = X @ R.T + t
+    x1 = Xc[:, :2] / Xc[:, 2:]
+    if noise > 0:
+        x0 = x0 + noise * jax.random.normal(k3, x0.shape)
+        x1 = x1 + noise * jax.random.normal(jax.random.fold_in(k3, 1),
+                                            x1.shape)
+    return x0, x1, R, t, X
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_eight_point_recovers_E_fuzz(seed):
+    x0, x1, R, t, _ = _two_view(jax.random.PRNGKey(seed))
+    F = find_fundamental(x0[None], x1[None],
+                         jnp.ones((1, x0.shape[0])))[0]
+    E_gt = essential_from_Rt(jnp.eye(3)[None], jnp.zeros((1, 3, 1)),
+                             R[None], t[None, :, None])[0]
+    # calibrated points: F plays the role of E up to scale
+    d = sampson_epipolar_distance(x0[None], x1[None], F[None])[0]
+    assert float(jnp.max(d)) < 1e-6, float(jnp.max(d))
+    # up-to-scale match against the ground-truth essential
+    En = E_gt / jnp.linalg.norm(E_gt)
+    Fn = F / jnp.linalg.norm(F)
+    err = min(float(jnp.abs(Fn - En).max()), float(jnp.abs(Fn + En).max()))
+    assert err < 1e-4, err
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+@pytest.mark.parametrize("n", [16, 96])
+def test_motion_from_essential_fuzz(seed, n):
+    x0, x1, R, t, _ = _two_view(jax.random.PRNGKey(seed), n=n)
+    E = essential_from_Rt(jnp.eye(3)[None], jnp.zeros((1, 3, 1)),
+                          R[None], t[None, :, None])
+    R_est, t_est, _ = motion_from_essential_choose_solution(
+        E, jnp.eye(3)[None], jnp.eye(3)[None], x0[None], x1[None])
+    np.testing.assert_allclose(np.asarray(R_est[0]), np.asarray(R),
+                               atol=1e-4)
+    tn = t / jnp.linalg.norm(t)
+    te = t_est[0, :, 0] / jnp.linalg.norm(t_est[0, :, 0])
+    assert float(jnp.abs(te - tn).max()) < 1e-4
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_triangulation_reprojects_fuzz(seed):
+    x0, x1, R, t, X = _two_view(jax.random.PRNGKey(seed), n=48)
+    P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], -1)
+    P1 = jnp.concatenate([R, t[:, None]], -1)
+    Xh = triangulate_points(P0[None], P1[None], x0[None], x1[None])[0]
+    np.testing.assert_allclose(np.asarray(Xh), np.asarray(X), atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n", [8, 40])
+def test_homography_dlt_fuzz(seed, n):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    H_gt = jnp.eye(3) + 0.1 * jax.random.normal(k1, (3, 3))
+    H_gt = H_gt / H_gt[2, 2]
+    pts = jax.random.normal(k2, (n, 2))
+    dst = kt.geometry.transform_points(H_gt[None], pts[None])[0]
+    H = find_homography_dlt(pts[None], dst[None], jnp.ones((1, n)))[0]
+    H = H / H[2, 2]
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_gt), atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_pnp_dlt_fuzz(seed):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    X = jax.random.normal(k1, (32, 3)) + jnp.asarray([0.0, 0.0, 5.0])
+    aa = 0.2 * jax.random.normal(k2, (3,))
+    R = kt.geometry.axis_angle_to_rotation_matrix(aa[None])[0]
+    t = jnp.asarray([0.3, -0.2, 0.4])
+    Xc = X @ R.T + t
+    uv = Xc[:, :2] / Xc[:, 2:]
+    K = jnp.eye(3)
+    M = solve_pnp_dlt(X[None], uv[None], K[None])[0]  # (3, 4)
+    np.testing.assert_allclose(np.asarray(M[:, :3]), np.asarray(R),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(M[:, 3]), np.asarray(t),
+                               atol=1e-3)
+
+
+@pytest.mark.parametrize("outlier_frac", [0.2, 0.45])
+def test_pnp_ransac_outlier_recovery_fuzz(outlier_frac):
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = 128
+    X = jax.random.normal(k1, (n, 3)) + jnp.asarray([0.0, 0.0, 5.0])
+    aa = jnp.asarray([0.05, -0.1, 0.03])
+    R = kt.geometry.axis_angle_to_rotation_matrix(aa[None])[0]
+    t = jnp.asarray([0.2, 0.1, -0.3])
+    Xc = X @ R.T + t
+    uv = Xc[:, :2] / Xc[:, 2:]
+    n_out = int(outlier_frac * n)
+    uv = uv.at[:n_out].add(0.5 * jax.random.normal(k2, (n_out, 2)))
+    R_est, t_est, inl, n_inl = pnp_ransac(X, uv, k3, 5e-3,
+                                          batch_size=512, gn_iters=5)
+    assert int(n_inl) >= n - n_out - 5
+    np.testing.assert_allclose(np.asarray(R_est), np.asarray(R), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(t_est), np.asarray(t), atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# Camera distortion roundtrips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_distort_undistort_roundtrip_fuzz(seed):
+    from kornia_tpu.geometry.calibration import (distort_points,
+                                                 undistort_points)
+    K = jnp.asarray([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])[None]
+    dist = jnp.zeros((1, 14)).at[0, :5].set(
+        jnp.asarray([0.1, -0.05, 1e-3, -1e-3, 0.01]))
+    pts = jax.random.uniform(jax.random.PRNGKey(seed), (1, 24, 2)) \
+        * jnp.asarray([128.0, 96.0])
+    und = undistort_points(pts, K, dist)
+    back = distort_points(und, K, dist)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Boxes: conversion roundtrips + IoU properties at random draws
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bbox_iou_properties_fuzz(seed):
+    from kornia_tpu.metrics.metrics import mean_iou_bbox as bbox_iou
+    k = jax.random.PRNGKey(seed)
+    xy = jax.random.uniform(k, (8, 2)) * 50
+    wh = jax.random.uniform(jax.random.fold_in(k, 1), (8, 2)) * 20 + 2
+    boxes = jnp.concatenate([xy, xy + wh], -1)  # xyxy
+    iou = bbox_iou(boxes, boxes)
+    # self-IoU is 1 on the diagonal, symmetric, in [0, 1]
+    np.testing.assert_allclose(np.asarray(jnp.diag(iou)), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(iou), np.asarray(iou.T),
+                               atol=1e-6)
+    assert float(iou.min()) >= 0.0 and float(iou.max()) <= 1.0 + 1e-6
+    # disjoint boxes have IoU 0
+    far = boxes + 1000.0
+    np.testing.assert_allclose(np.asarray(bbox_iou(boxes, far)), 0.0,
+                               atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_boxes_container_roundtrip_fuzz(seed):
+    from kornia_tpu.geometry.boxes import Boxes
+    k = jax.random.PRNGKey(seed)
+    xy = jax.random.uniform(k, (1, 6, 2)) * 40
+    wh = jax.random.uniform(jax.random.fold_in(k, 3), (1, 6, 2)) * 15 + 1
+    xyxy = jnp.concatenate([xy, xy + wh], -1)
+    b = Boxes.from_tensor(xyxy, mode="xyxy")
+    out = b.to_tensor(mode="xyxy")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xyxy), atol=1e-4)
+    xywh = b.to_tensor(mode="xywh")
+    b2 = Boxes.from_tensor(xywh, mode="xywh")
+    np.testing.assert_allclose(np.asarray(b2.to_tensor(mode="xyxy")),
+                               np.asarray(xyxy), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Losses/metrics invariants at random shapes
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (17, 23)])
+def test_loss_identities_fuzz(hw):
+    from kornia_tpu.losses import (psnr_loss, ssim_loss)
+    h, w = hw
+    x = jax.random.uniform(jax.random.PRNGKey(40), (2, 3, h, w))
+    # ssim(x, x) loss = 0
+    np.testing.assert_allclose(float(ssim_loss(x, x, 5)), 0.0, atol=1e-5)
+    # psnr of identical images saturates (loss = -psnr, large negative)
+    assert float(psnr_loss(x, x, 1.0)) < -80.0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ate_zero_for_identical_fuzz(seed):
+    from kornia_tpu.metrics.metrics import ate_rmse
+    traj = jax.random.normal(jax.random.PRNGKey(seed), (30, 3))
+    assert float(ate_rmse(traj, traj, with_scale=True)) < 1e-5
+    # similarity-invariant: rotated+scaled+shifted copy aligns to zero
+    aa = jnp.asarray([0.3, -0.2, 0.5])
+    R = kt.geometry.axis_angle_to_rotation_matrix(aa[None])[0]
+    traj2 = 1.7 * traj @ R.T + jnp.asarray([3.0, -2.0, 1.0])
+    assert float(ate_rmse(traj2, traj, with_scale=True)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Matcher properties
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [16, 100])
+def test_smnn_self_match_fuzz(n):
+    from kornia_tpu.feature.matching import match_smnn
+    d = jax.random.normal(jax.random.PRNGKey(50), (n, 32))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dists, idx, valid = match_smnn(d, d, 0.95)
+    # self-matching: every descriptor matches itself
+    vi = np.asarray(valid)
+    ii = np.asarray(idx)
+    assert vi.sum() == n
+    np.testing.assert_array_equal(ii[vi][:, 0], ii[vi][:, 1])
+
+
+def test_smnn_respects_validity_mask_fuzz():
+    from kornia_tpu.feature.matching import match_smnn
+    d1 = jax.random.normal(jax.random.PRNGKey(51), (32, 16))
+    d2 = jnp.concatenate([d1, jax.random.normal(
+        jax.random.PRNGKey(52), (32, 16))], 0)
+    v1 = jnp.arange(32) < 20
+    v2 = jnp.arange(64) < 40
+    _, idx, valid = match_smnn(d1, d2, 0.99, v1, v2)
+    ii = np.asarray(idx)[np.asarray(valid)]
+    assert (ii[:, 0] < 20).all() and (ii[:, 1] < 40).all()
+
+
+# ---------------------------------------------------------------------------
+# Subpix: NMS strictness + soft-argmax localization at random peaks
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_nms2d_isolates_peak_fuzz(seed):
+    from kornia_tpu.geometry.subpix import nms2d
+    h, w = 33, 41
+    r = jax.random.uniform(jax.random.PRNGKey(seed), (1, 1, h, w)) * 0.1
+    yy, xx = 13, 27
+    r = r.at[0, 0, yy, xx].set(2.0)
+    out = nms2d(r, (5, 5))
+    assert float(out[0, 0, yy, xx]) == 2.0
+    # neighborhood suppressed
+    nb = out[0, 0, yy - 2:yy + 3, xx - 2:xx + 3]
+    assert float(jnp.sort(nb.reshape(-1))[-2]) == 0.0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_spatial_softargmax_peak_fuzz(seed):
+    from kornia_tpu.geometry.subpix import spatial_soft_argmax2d
+    h, w = 17, 19
+    yy = int(jax.random.randint(jax.random.PRNGKey(seed), (), 3, h - 3))
+    xx = int(jax.random.randint(jax.random.PRNGKey(seed + 9), (), 3, w - 3))
+    r = jnp.zeros((1, 1, h, w)).at[0, 0, yy, xx].set(30.0)
+    out = spatial_soft_argmax2d(r, temperature=jnp.asarray(1.0),
+                                normalized_coordinates=False)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), [xx, yy], atol=0.1)
