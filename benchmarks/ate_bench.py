@@ -102,6 +102,8 @@ def main():
                          "bench.py as headline metadata)")
     ap.add_argument("--kf-parallax", type=float, default=None,
                     help="override VisualOdometry keyframe parallax gate")
+    ap.add_argument("--ba-iters", type=int, default=None,
+                    help="override VisualOdometry ba_iters")
     ap.add_argument("--seqs", type=str, default=None,
                     help="comma-separated prefixes to run (walk,orbit,loop)")
     args = ap.parse_args()
@@ -140,6 +142,8 @@ def main():
     vo_kw = {}
     if args.kf_parallax is not None:
         vo_kw["kf_parallax"] = args.kf_parallax
+    if args.ba_iters is not None:
+        vo_kw["ba_iters"] = args.ba_iters
 
     rows = []
     for name, traj in seqs:

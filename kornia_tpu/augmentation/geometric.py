@@ -307,6 +307,9 @@ class RandomCrop(GeometricAugmentationBase2D):
 
     def __init__(self, size: Tuple[int, int], resample="bilinear",
                  padding_mode="zeros", **kw):
+        # output shape is static (the crop size) so the op always applies;
+        # accept-and-ignore a caller's p for reference API compatibility
+        kw.pop("p", None)
         super().__init__(p=1.0, **kw)
         self.size = size
         self.flags = {"resample": resample, "padding_mode": padding_mode}
@@ -348,6 +351,7 @@ class RandomResizedCrop(GeometricAugmentationBase2D):
 
     def __init__(self, size: Tuple[int, int], scale=(0.08, 1.0),
                  ratio=(3 / 4, 4 / 3), resample="bilinear", **kw):
+        kw.pop("p", None)  # static output shape: always applies
         super().__init__(p=1.0, **kw)
         self.size = size
         self.scale = scale
