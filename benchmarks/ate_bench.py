@@ -104,6 +104,8 @@ def main():
                     help="override VisualOdometry keyframe parallax gate")
     ap.add_argument("--ba-iters", type=int, default=None,
                     help="override VisualOdometry ba_iters")
+    ap.add_argument("--gnc", type=float, nargs=3, default=None,
+                    help="override GNC deltas (wide cauchy tight)")
     ap.add_argument("--seqs", type=str, default=None,
                     help="comma-separated prefixes to run (walk,orbit,loop)")
     args = ap.parse_args()
@@ -144,6 +146,8 @@ def main():
         vo_kw["kf_parallax"] = args.kf_parallax
     if args.ba_iters is not None:
         vo_kw["ba_iters"] = args.ba_iters
+    if args.gnc is not None:
+        vo_kw["gnc_deltas"] = tuple(args.gnc)
 
     rows = []
     for name, traj in seqs:

@@ -69,9 +69,14 @@ def depth_to_normals(depth: jax.Array, camera_matrix: jax.Array,
     """Surface normals from depth via gradient cross products
     (reference: depth.py:195)."""
     pts = depth_to_3d(depth, camera_matrix, normalize_points)  # (B, 3, H, W)
-    dx = jnp.gradient(pts, axis=-1)
-    dy = jnp.gradient(pts, axis=-2)
-    normals = jnp.cross(jnp.moveaxis(dx, 1, -1), jnp.moveaxis(dy, 1, -1))
+    # reference differentiates the pointcloud with SOBEL spatial_gradient
+    # (depth.py:229), not central differences — the smoothing changes the
+    # normals everywhere (caught by the round-4 parity sweep)
+    from ..ops.filters import spatial_gradient
+    g = spatial_gradient(pts)  # (B, 3, 2, H, W)
+    a = jnp.moveaxis(g[:, :, 0], 1, -1)  # (B, H, W, 3) d/dx
+    b = jnp.moveaxis(g[:, :, 1], 1, -1)  # d/dy
+    normals = jnp.cross(a, b)
     n = jnp.linalg.norm(normals, axis=-1, keepdims=True)
     normals = normals / jnp.maximum(n, 1e-8)
     return jnp.moveaxis(normals, -1, 1)

@@ -256,11 +256,17 @@ def equalize_clahe(
     grid_size: Tuple[int, int] = (8, 8),
     slow_and_differentiable: bool = False,
 ) -> jax.Array:
-    """CLAHE: tile histograms with clip limit + bilinear LUT interpolation
-    (reference: enhance/equalization.py:332).
+    """CLAHE with EXACT reference/OpenCV semantics (equalization.py:332):
+    histc-binned integer histograms, floor'd OpenCV clip redistribution
+    (uniform + first-`residual`-bins trick), floor'd integer LUTs, and
+    half-tile interpolation (corner half-tiles take one LUT, borders two,
+    interior four) — reproduced here as clipped LUT-index pairs with
+    parity-selected half-tile weight ramps, so no special-casing is
+    needed. All tiles batched; LUT lookups are flat gathers.
 
-    All tiles are processed in one batched pass (tiles as a batch dim), and
-    LUT lookups for the 4 neighboring tiles are gathered + lerped.
+    `slow_and_differentiable=True` keeps a smooth variant (soft
+    histogram, continuous interpolation) mirroring the reference's
+    differentiable mode in role.
     """
     image = as_float(image)
     orig_shape = image.shape
@@ -268,47 +274,115 @@ def equalize_clahe(
     B, C, H, W = img.shape
     gh, gw = grid_size
     nbins = 256
-    # pad to multiple of tiles
+    # tile size: ceil, forced EVEN (reference _compute_tiles even_tile_size)
     th = -(-H // gh)
     tw = -(-W // gw)
+    th += th % 2
+    tw += tw % 2
     Hp, Wp = th * gh, tw * gw
-    img_p = jnp.pad(img, [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)], mode="reflect")
+    img_p = jnp.pad(img, [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)],
+                    mode="reflect")
     tiles = img_p.reshape(B, C, gh, th, gw, tw).transpose(0, 1, 2, 4, 3, 5)
     tiles = tiles.reshape(B * C * gh * gw, th * tw)
-    q = jnp.clip(jnp.floor(tiles * (nbins - 1) + 0.5), 0, nbins - 1).astype(jnp.int32)
-    hist = jax.vmap(lambda qq: jnp.zeros((nbins,), jnp.float32).at[qq].add(1.0))(q)
+    pixels = th * tw
+
+    if slow_and_differentiable:
+        # smooth histogram + continuous bilinear LUT interpolation
+        q = jnp.clip(jnp.floor(tiles * (nbins - 1) + 0.5), 0,
+                     nbins - 1).astype(jnp.int32)
+        hist = jax.vmap(lambda qq: jnp.zeros((nbins,), jnp.float32)
+                        .at[qq].add(1.0))(q)
+        if clip_limit > 0:
+            limit = jnp.maximum(clip_limit * pixels / nbins, 1.0)
+            excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1,
+                             keepdims=True)
+            hist = jnp.minimum(hist, limit) + excess / nbins
+        cdf = jnp.cumsum(hist, axis=-1)
+        cdf = cdf / cdf[..., -1:]
+        luts = cdf.reshape(B, C, gh, gw, nbins)
+        ys = jnp.arange(H, dtype=img.dtype)
+        xs = jnp.arange(W, dtype=img.dtype)
+        ty = ys / th - 0.5
+        tx = xs / tw - 0.5
+        ty0 = jnp.clip(jnp.floor(ty), 0, gh - 1).astype(jnp.int32)
+        tx0 = jnp.clip(jnp.floor(tx), 0, gw - 1).astype(jnp.int32)
+        ty1 = jnp.clip(ty0 + 1, 0, gh - 1)
+        tx1 = jnp.clip(tx0 + 1, 0, gw - 1)
+        wy = jnp.clip(ty - ty0, 0.0, 1.0)[:, None]
+        wx = jnp.clip(tx - tx0, 0.0, 1.0)[None, :]
+        qimg = jnp.clip(jnp.floor(img * (nbins - 1) + 0.5), 0,
+                        nbins - 1).astype(jnp.int32)
+
+        def lut_at(t_y, t_x):
+            l = luts[:, :, t_y[:, None], t_x[None, :], :]
+            return jnp.take_along_axis(l, qimg[..., None], axis=-1)[..., 0]
+
+        v00 = lut_at(ty0, tx0)
+        v01 = lut_at(ty0, tx1)
+        v10 = lut_at(ty1, tx0)
+        v11 = lut_at(ty1, tx1)
+        out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+               + v10 * wy * (1 - wx) + v11 * wy * wx)
+        return out.astype(image.dtype).reshape(orig_shape)
+
+    # --- exact integer path --------------------------------------------
+    # histc semantics: bin = floor(x * 256), value 1.0 lands in bin 255
+    q = jnp.clip(jnp.floor(tiles * nbins), 0, nbins - 1).astype(jnp.int32)
+    hist = jax.vmap(lambda qq: jnp.zeros((nbins,), jnp.float32)
+                    .at[qq].add(1.0))(q)
     if clip_limit > 0:
-        limit = jnp.maximum(clip_limit * th * tw / nbins, 1.0)
-        excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)
-        hist = jnp.minimum(hist, limit) + excess / nbins
-    cdf = jnp.cumsum(hist, axis=-1)
-    cdf = cdf / cdf[..., -1:]
-    luts = cdf.reshape(B, C, gh, gw, nbins)
-    # bilinear interpolation between tile LUTs at every pixel
-    ys = jnp.arange(H, dtype=img.dtype)
-    xs = jnp.arange(W, dtype=img.dtype)
-    ty = ys / th - 0.5
-    tx = xs / tw - 0.5
-    ty0 = jnp.clip(jnp.floor(ty), 0, gh - 1).astype(jnp.int32)
-    tx0 = jnp.clip(jnp.floor(tx), 0, gw - 1).astype(jnp.int32)
-    ty1 = jnp.clip(ty0 + 1, 0, gh - 1)
-    tx1 = jnp.clip(tx0 + 1, 0, gw - 1)
-    wy = jnp.clip(ty - ty0, 0.0, 1.0)[:, None]
-    wx = jnp.clip(tx - tx0, 0.0, 1.0)[None, :]
-    qimg = jnp.clip(jnp.floor(img * (nbins - 1) + 0.5), 0, nbins - 1).astype(jnp.int32)
+        # OpenCV redistribution (reference _compute_luts:174-183)
+        max_val = max(clip_limit * pixels // nbins, 1.0)
+        hist = jnp.minimum(hist, max_val)
+        clipped = pixels - jnp.sum(hist, axis=-1, keepdims=True)
+        residual = jnp.mod(clipped, float(nbins))
+        hist = hist + (clipped - residual) / nbins
+        hist = hist + (jnp.arange(nbins, dtype=hist.dtype)[None]
+                       < residual).astype(hist.dtype)
+    luts = jnp.floor(jnp.clip(jnp.cumsum(hist, axis=-1)
+                              * ((nbins - 1) / pixels), 0, nbins - 1))
+    luts = luts.reshape(B, C, gh, gw, nbins)
 
-    def lut_at(t_y, t_x):
-        # luts: (B, C, gh, gw, nbins) → value per pixel
-        l = luts[:, :, t_y[:, None], t_x[None, :], :]  # (B, C, H, W, nbins)
-        return jnp.take_along_axis(l, qimg[..., None], axis=-1)[..., 0]
+    # half-tile interpolation: half-tile row rr interpolates between tile
+    # rows (rr-1)//2 and (rr+1)//2 (clipped — corners/borders collapse to
+    # identical LUTs), with the reference's descending weight ramp
+    # seq(k) = (2hh-1-k)/(2hh-1) windowed by half-tile parity
+    hh, hw = th // 2, tw // 2
+    ys = jnp.arange(Hp)
+    xs = jnp.arange(Wp)
+    rr = ys // hh
+    cc = xs // hw
+    k = ys % hh
+    l = xs % hw
+    jt = jnp.clip((rr - 1) // 2, 0, gh - 1)
+    jb = jnp.clip((rr + 1) // 2, 0, gh - 1)
+    il = jnp.clip((cc - 1) // 2, 0, gw - 1)
+    ir = jnp.clip((cc + 1) // 2, 0, gw - 1)
+    # odd half-row -> window0 (seq[k]), even -> window1 (seq[hh + k])
+    wv = ((2 * hh - 1) - (k + hh * (1 - rr % 2))) / (2.0 * hh - 1)
+    wh = ((2 * hw - 1) - (l + hw * (1 - cc % 2))) / (2.0 * hw - 1)
+    wv = wv.astype(img.dtype)[None, None, :, None]
+    wh = wh.astype(img.dtype)[None, None, None, :]
 
-    v00 = lut_at(ty0, tx0)
-    v01 = lut_at(ty0, tx1)
-    v10 = lut_at(ty1, tx0)
-    v11 = lut_at(ty1, tx1)
-    out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
-           + v10 * wy * (1 - wx) + v11 * wy * wx)
-    return out.astype(image.dtype).reshape(orig_shape)
+    # pixel LUT index: (x * 255) truncated (reference gather, line 277)
+    qimg = jnp.clip((img_p * (nbins - 1.0)), 0,
+                    nbins - 1).astype(jnp.int32)
+    flat = luts.reshape(B, C, gh * gw * nbins)
+
+    def lut_at(jv, iv):
+        idx = ((jv[:, None] * gw + iv[None, :]) * nbins
+               + qimg)  # (B, C, Hp, Wp)
+        g = jnp.take_along_axis(flat, idx.reshape(B, C, -1), axis=-1)
+        return g.reshape(B, C, Hp, Wp)
+
+    vtl = lut_at(jt, il)
+    vtr = lut_at(jt, ir)
+    vbl = lut_at(jb, il)
+    vbr = lut_at(jb, ir)
+    top = vtr + wh * (vtl - vtr)
+    bot = vbr + wh * (vbl - vbr)
+    out = (bot + wv * (top - bot)) / (nbins - 1.0)
+    return out[..., :H, :W].astype(image.dtype).reshape(orig_shape)
 
 
 def normalize(image: jax.Array, mean, std) -> jax.Array:
@@ -403,7 +477,9 @@ def zca_mean(x: jax.Array, dim: int = 0, unbiased: bool = True,
     xc = flat - mean
     denom = N - 1 if unbiased else N
     cov = xc.T @ xc / denom
-    U, S, _ = jnp.linalg.svd(cov + eps * jnp.eye(cov.shape[0], dtype=cov.dtype))
+    # eps enters ONCE, inside the rsqrt (reference zca.py:178 adds it to
+    # the singular values only — adding it to cov too doubled the shift)
+    U, S, _ = jnp.linalg.svd(cov)
     s_inv_sqrt = 1.0 / jnp.sqrt(S + eps)
     T = (U * s_inv_sqrt[None, :]) @ U.T
     if return_inverse:

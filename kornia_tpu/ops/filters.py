@@ -581,25 +581,38 @@ def guided_blur(
 
 
 def blur_pool2d(x: jax.Array, kernel_size: int = 3, stride: int = 2) -> jax.Array:
-    """Anti-aliased downsampling (Zhang 2019; reference: filters/blur_pool.py)."""
+    """Anti-aliased downsampling (Zhang 2019; reference: filters/blur_pool.py).
+
+    Border rule is ZERO padding of (k-1)//2 per side — the reference's
+    `F.conv2d(padding=_compute_zero_padding(k))`, blur_pool.py:314 (NOT
+    reflect; caught by the round-4 parity sweep)."""
     x = as_float(x)
     k = get_pascal_kernel_2d(kernel_size, norm=True, dtype=x.dtype)[None]
     kh, kw = k.shape[-2:]
-    xp = _pad2d(x, (kh // 2, (kh - 1) // 2, kw // 2, (kw - 1) // 2), "reflect")
     C = x.shape[1]
     w = jnp.broadcast_to(k, (C, kh, kw))[:, None]
+    py, px = (kh - 1) // 2, (kw - 1) // 2
     return lax.conv_general_dilated(
-        xp, w, window_strides=(stride, stride), padding="VALID",
+        x, w, window_strides=(stride, stride),
+        padding=((py, py), (px, px)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
     )
 
 
 def max_blur_pool2d(x: jax.Array, kernel_size: int = 3, stride: int = 2,
                     max_pool_size: int = 2, ceil_mode: bool = False) -> jax.Array:
+    """Max-pool (stride 1, NO padding — the map shrinks by max_pool_size-1,
+    reference blur_pool.py:327) then anti-aliased downsample."""
     x = as_float(x)
+    if ceil_mode and max_pool_size > 1:
+        # torch ceil_mode pads bottom/right so the stride-1 window count
+        # rounds up (one extra row/col of -inf never wins a max with real
+        # values because replicate-padding is used instead)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, max_pool_size - 1),
+                        (0, max_pool_size - 1)), mode="edge")
     x = lax.reduce_window(
         x, -jnp.inf, lax.max,
-        (1, 1, max_pool_size, max_pool_size), (1, 1, 1, 1), "SAME",
+        (1, 1, max_pool_size, max_pool_size), (1, 1, 1, 1), "VALID",
     )
     return blur_pool2d(x, kernel_size, stride)
 
@@ -697,54 +710,71 @@ def canny(
     hysteresis: bool = True,
     eps: float = 1e-6,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Canny edges (reference: filters/canny.py). Returns (magnitude, edges).
-
-    Hysteresis uses a fixed-trip-count label-propagation (`lax.scan` over a
-    static number of dilation rounds) instead of a data-dependent while loop.
+    """Canny edges (reference: filters/canny.py:91-160). Returns
+    (nms magnitude, edges) with EXACT reference semantics: UNnormalized
+    sobel gradients, strict-greater directional NMS (mag - neighbor > 0
+    on both sides), magnitude zeroed off-maxima, and hysteresis run to
+    convergence (`lax.while_loop` — the reference's data-dependent python
+    loop maps directly onto a traced while).
     """
     x = as_float(x)
     if x.shape[1] == 3:
         from .color import rgb_to_grayscale
         x = rgb_to_grayscale(x)
     blurred = gaussian_blur2d(x, kernel_size, sigma)
-    g = spatial_gradient(blurred, "sobel", 1, True)
+    g = spatial_gradient(blurred, "sobel", 1, normalized=False)
     gx, gy = g[:, :, 0], g[:, :, 1]
     mag = jnp.sqrt(gx * gx + gy * gy + eps)
-    ang = jnp.rad2deg(jnp.arctan2(gy, gx))
-    # quantize angle to 8 directions
-    ang = jnp.round(ang / 45.0) * 45.0
-    # non-max suppression against the two neighbors along gradient direction
+    # nearest-45-degree index, torch round-half-to-even
+    ang8 = jnp.round(jnp.arctan2(gy, gx) * (4.0 / math.pi))
     magp = _pad2d(mag, (1, 1, 1, 1), "constant")
     B, C, H, W = mag.shape
 
     def shift(dy, dx):
         return lax.dynamic_slice(magp, (0, 0, 1 + dy, 1 + dx), (B, C, H, W))
 
-    neighbors = {
-        0.0: (shift(0, 1), shift(0, -1)),
-        45.0: (shift(1, 1), shift(-1, -1)),
-        90.0: (shift(1, 0), shift(-1, 0)),
-        135.0: (shift(1, -1), shift(-1, 1)),
-    }
-    is_max = jnp.zeros_like(mag, dtype=bool)
-    for a, (n1, n2) in neighbors.items():
-        sel = (jnp.mod(ang, 180.0) == a)
-        is_max = jnp.where(sel, (mag >= n1) & (mag >= n2), is_max)
-    mag_nms = jnp.where(is_max, mag, 0.0)
+    # direction k (k=0 -> +x, counter-clockwise in image coords like the
+    # reference's get_canny_nms_kernel ordering)
+    offs = [(0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0),
+            (-1, 1)]
+    pos_idx = jnp.mod(ang8, 8.0)
+    neg_idx = jnp.mod(ang8 + 4.0, 8.0)
+    diff_pos = jnp.zeros_like(mag)
+    diff_neg = jnp.zeros_like(mag)
+    for k, (dy, dx) in enumerate(offs):
+        d = mag - shift(dy, dx)
+        diff_pos = jnp.where(pos_idx == k, d, diff_pos)
+        diff_neg = jnp.where(neg_idx == k, d, diff_neg)
+    is_max = jnp.minimum(diff_pos, diff_neg) > 0.0  # strictly greater
+    mag_nms = mag * is_max
     low = mag_nms > low_threshold
     high = mag_nms > high_threshold
+    edges = 0.5 * low.astype(x.dtype) + 0.5 * high.astype(x.dtype)
     if not hysteresis:
-        edges = 0.5 * low.astype(x.dtype) + 0.5 * high.astype(x.dtype)
-        return mag, edges
-    # propagate strong labels through weak pixels; bounded rounds
-    def body(strong, _):
-        s = lax.reduce_window(
-            strong.astype(x.dtype), 0.0, lax.max, (1, 1, 3, 3), (1, 1, 1, 1), "SAME"
-        ) > 0
-        return (s & low) | high, None
+        return mag_nms, edges
 
-    strong, _ = lax.scan(body, high, None, length=16)
-    return mag, strong.astype(x.dtype)
+    # reference loop: weak (0.5) pixels 8-adjacent to a strong (1.0)
+    # pixel become strong; iterate to convergence
+    def cond(state):
+        edges, edges_old = state
+        return jnp.any(edges != edges_old)
+
+    def body(state):
+        edges, _ = state
+        weak = edges == 0.5
+        strong = edges == 1.0
+        near_strong = lax.reduce_window(
+            strong.astype(x.dtype), 0.0, lax.max, (1, 1, 3, 3),
+            (1, 1, 1, 1), "SAME") > 0
+        new_strong = (near_strong & weak) | strong
+        new_edges = jnp.where(new_strong, 1.0,
+                              jnp.where(weak & ~new_strong, 0.5, 0.0)
+                              ).astype(x.dtype)
+        return new_edges, edges
+
+    edges, _ = lax.while_loop(cond, body, (edges, -jnp.ones_like(edges)))
+    # reference returns hysteresis_magnitude: strong-only, weak dropped
+    return mag_nms, (edges == 1.0).astype(x.dtype)
 
 
 # -----------------------------------------------------------------------------

@@ -681,29 +681,40 @@ def elastic_transform2d(
     from .filters import gaussian_blur2d
     image = as_float(image)
     B, C, H, W = image.shape
-    disp = gaussian_blur2d(noise, kernel_size, sigma)
+    # reference smooths with CONSTANT (zero) border and clamps the warped
+    # grid to [-1, 1] (elastic_transform.py:110-120; caught by the
+    # round-4 parity sweep)
+    disp = gaussian_blur2d(noise, kernel_size, sigma,
+                           border_type="constant")
     disp_x = alpha[0] * disp[:, 0]
     disp_y = alpha[1] * disp[:, 1]
     grid = create_meshgrid(H, W, True, image.dtype)
     grid = jnp.broadcast_to(grid, (B, H, W, 2))
-    warped = jnp.stack([grid[..., 0] + disp_x, grid[..., 1] + disp_y], axis=-1)
+    warped = jnp.clip(
+        jnp.stack([grid[..., 0] + disp_x, grid[..., 1] + disp_y], axis=-1),
+        -1.0, 1.0)
     return grid_sample(image, warped, mode, padding_mode, align_corners)
 
 
-def _tps_rbf(d2: jax.Array, eps: float = 1e-9) -> jax.Array:
-    """U(r) = r^2 log r^2 radial basis."""
-    return d2 * jnp.log(jnp.maximum(d2, eps))
+def _tps_rbf(d2: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """U(r) = r^2 log r = 0.5 r^2 log(r^2 + eps) — the reference's
+    `_kernel_distance` (thin_plate_spline.py:45; the 0.5 factor and the
+    eps-inside-log must match for WEIGHT-level parity, caught by the
+    round-4 parity sweep)."""
+    return 0.5 * d2 * jnp.log(d2 + eps)
 
 
 def get_tps_transform(points_src: jax.Array, points_dst: jax.Array
                       ) -> Tuple[jax.Array, jax.Array]:
     """Thin-plate-spline coefficients mapping dst→src control points
-    (reference: thin_plate_spline.py get_tps_transform)."""
+    (reference: thin_plate_spline.py get_tps_transform). The kernel
+    matrix pairs SRC against DST (the dst points are the kernel centers
+    downstream — reference line 98)."""
     points_src = as_float(points_src)
     points_dst = as_float(points_dst)
     B, N, _ = points_src.shape
     d2 = jnp.sum(
-        (points_src[:, :, None, :] - points_src[:, None, :, :]) ** 2, axis=-1
+        (points_src[:, :, None, :] - points_dst[:, None, :, :]) ** 2, axis=-1
     )
     K = _tps_rbf(d2)
     P = jnp.concatenate([jnp.ones((B, N, 1), points_src.dtype), points_src], axis=-1)

@@ -77,7 +77,8 @@ class VisualOdometry:
                  ba_iters: int = 12, matcher_th: float = 0.95,
                  global_ba_frames: int = 128,
                  kf_parallax: float = 0.022, kf_max_skip: int = 6,
-                 kf_min_matches: int = 48, kf_match_decay: float = 0.45):
+                 kf_min_matches: int = 48, kf_match_decay: float = 0.45,
+                 gnc_deltas: Tuple[float, float, float] = (24.0, 2.0, 1.0)):
         self.K = K
         self.window = window
         self.ba_iters = ba_iters
@@ -93,6 +94,9 @@ class VisualOdometry:
         self.kf_max_skip = kf_max_skip
         self.kf_min_matches = kf_min_matches
         self.kf_match_decay = kf_match_decay
+        # GNC annealing schedule (pixel-scale multiples of s_px): wide
+        # huber pull-in, cauchy, tight re-gated huber polish
+        self.gnc_deltas = gnc_deltas
         # corners (GFTT) give denser, better-distributed tracks than DoG
         # blobs for frame-to-frame odometry
         self.feature = GFTTSIFTFeature(num_features=num_features)
@@ -416,6 +420,7 @@ class VisualOdometry:
         if key in cache:
             return cache[key]
         ba_iters = self.ba_iters
+        d_wide, d_cauchy, d_tight = self.gnc_deltas
         # robust deltas are PIXEL thresholds: scale with focal length so
         # the angular gate is resolution-independent (measured: at 480p
         # the unscaled 24 px huber covered too little of the chained-init
@@ -448,19 +453,21 @@ class VisualOdometry:
             # the true outliers, then a tight re-gated huber polish
             state, c0 = bundle_adjust(
                 state0, problem, C, T_max, num_iters=max(ba_iters // 2, 4),
-                robust="huber", robust_delta=24.0 * s_px, fix_first_cam=2)
+                robust="huber", robust_delta=d_wide * s_px, fix_first_cam=2)
             state, c1 = bundle_adjust(
                 state, problem, C, T_max, num_iters=ba_iters,
-                robust="cauchy", robust_delta=2.0 * s_px, fix_first_cam=2)
+                robust="cauchy", robust_delta=d_cauchy * s_px,
+                fix_first_cam=2)
             # re-gate observations at ~2 px-equivalent and polish with a
             # tight huber — removes the residual outlier bias smooth
             # weighting leaves
             res = reprojection_residuals(state, problem)
-            good = valid & (jnp.sum(res * res, -1) < 4.0 * s_px * s_px)
+            good = valid & (jnp.sum(res * res, -1)
+                            < 4.0 * d_tight * d_tight * s_px * s_px)
             problem2 = BAProblem(obs_cam, obs_trk, obs_uv, good, K)
             state, c2 = bundle_adjust(
                 state, problem2, C, T_max, num_iters=max(ba_iters // 2, 3),
-                robust="huber", robust_delta=1.0 * s_px, fix_first_cam=2)
+                robust="huber", robust_delta=d_tight * s_px, fix_first_cam=2)
             return (state.poses.matrix(), state.points, ok,
                     jnp.concatenate([c0, c1, c2]))
 
@@ -483,7 +490,15 @@ class VisualOdometry:
         slam/posegraph.py)."""
         N = len(kps)
         if N >= 3 and N <= self.global_ba_frames:
-            windows = [(0, N)]
+            # TWO passes over the global window: the second pass
+            # re-triangulates every track from the PASS-1 refined poses,
+            # so tracks whose first/last-observation triangulation was
+            # poisoned by chained-pose drift get a sane init and the GNC
+            # schedule restarts in the better basin (measured on the
+            # 100-frame degraded circuit: single pass leaves the refined
+            # ATE well short of what the same solver reaches from the
+            # once-refined chain)
+            windows = [(0, N), (0, N)]
         else:
             W = min(self.window, N)
             if W < 3:
