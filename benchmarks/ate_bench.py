@@ -106,6 +106,8 @@ def main():
                     help="override VisualOdometry ba_iters")
     ap.add_argument("--gnc", type=float, nargs=3, default=None,
                     help="override GNC deltas (wide cauchy tight)")
+    ap.add_argument("--ransac-iters", type=int, default=8,
+                    help="RANSAC max iterations (early exit prunes)")
     ap.add_argument("--seqs", type=str, default=None,
                     help="comma-separated prefixes to run (walk,orbit,loop)")
     args = ap.parse_args()
@@ -157,7 +159,8 @@ def main():
         gt_c = cam_centers(traj)
         L = float(np.sum(np.linalg.norm(np.diff(gt_c, axis=0), axis=1)))
         vo = VisualOdometry(K, num_features=args.features,
-                            ransac_iters=8, ransac_batch=1024, **vo_kw)
+                            ransac_iters=args.ransac_iters,
+                            ransac_batch=1024, **vo_kw)
 
         t0 = time.perf_counter()
         res_ch = vo.run(frames, refine=False)

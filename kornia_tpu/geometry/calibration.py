@@ -151,14 +151,79 @@ def pnp_ransac(world_points: jax.Array, img_points: jax.Array,
     return R, t, inliers, jnp.sum(inliers)
 
 
+def refine_pose_gn(world_points: jax.Array, img_points: jax.Array,
+                   R0: jax.Array, t0: jax.Array, huber_delta: float,
+                   mask: jax.Array, iters: int = 8
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Motion-only robust pose polish (ORB-SLAM's pose optimization role):
+    huber-IRLS Gauss-Newton over se3 from an initial (R0, t0), minimizing
+    reprojection of `world_points` onto normalized `img_points` over the
+    masked set. Steps are accept-if-better on the huber cost; an empty
+    mask is a no-op. Used by slam/vo.py after PnP/two-view model
+    selection — the robust weighting lets it use the LOOSE track set
+    rather than a hard inlier set."""
+    from ..losses.robust import huber_weight
+    d2 = huber_delta * huber_delta
+
+    def project_res(Rm, tm):
+        Xc = world_points @ Rm.T + tm
+        z = jnp.where(jnp.abs(Xc[:, 2]) > 1e-8, Xc[:, 2], 1e-8)
+        return Xc[:, :2] / z[:, None] - img_points, Xc[:, 2]
+
+    def cost(Rm, tm):
+        r, z = project_res(Rm, tm)
+        r2 = jnp.sum(r * r, -1)
+        ok = mask & (z > 1e-6)
+        # huber rho
+        rho = jnp.where(r2 < d2, r2,
+                        2.0 * huber_delta * jnp.sqrt(jnp.maximum(r2, 1e-18))
+                        - d2)
+        return jnp.sum(jnp.where(ok, rho, 0.0))
+
+    def gn_step(carry, _):
+        Rm, tm = carry
+        r, z = project_res(Rm, tm)
+        r2 = jnp.sum(r * r, -1)
+        w = huber_weight(r2, huber_delta) * (mask & (z > 1e-6))
+        sw = jnp.sqrt(w)[:, None]
+
+        def res_at(dx):
+            Rn = _exp_so3_cal(dx[:3]) @ Rm
+            tn = tm + dx[3:]
+            rr, _ = project_res(Rn, tn)
+            return (rr * sw).reshape(-1)
+
+        J = jax.jacfwd(res_at)(jnp.zeros(6, Rm.dtype))
+        r0 = (r * sw).reshape(-1)
+        H = J.T @ J + 1e-6 * jnp.eye(6, dtype=Rm.dtype)
+        dx = -jnp.linalg.solve(H, J.T @ r0)
+        Rn = _exp_so3_cal(dx[:3]) @ Rm
+        tn = tm + dx[3:]
+        better = cost(Rn, tn) < cost(Rm, tm)
+        return (jnp.where(better, Rn, Rm), jnp.where(better, tn, tm)), None
+
+    (R, t), _ = jax.lax.scan(gn_step, (R0, t0), None, length=iters)
+    return R, t
+
+
 def _exp_so3_cal(w: jax.Array) -> jax.Array:
-    """Rodrigues exp map (local copy to avoid an import cycle)."""
-    th = jnp.linalg.norm(w) + 1e-12
-    k = w / th
-    Kx = jnp.array([[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]],
-                    [-k[1], k[0], 0.0]], w.dtype)
-    return (jnp.eye(3, dtype=w.dtype) + jnp.sin(th) * Kx
-            + (1.0 - jnp.cos(th)) * (Kx @ Kx))
+    """Rodrigues exp map, DIFFERENTIABLE AT ZERO (local copy to avoid an
+    import cycle).
+
+    The naive `norm(w)`-based form has a NaN jacobian at w = 0 — exactly
+    where every Gauss-Newton step linearizes — which silently turned the
+    GN polish loops (`pnp_ransac`, `refine_pose_gn`) into no-ops: the
+    NaN update always failed accept-if-better (round-4 finding). Taylor
+    branches + the where-inside-sqrt guard keep value AND jacobian
+    finite everywhere."""
+    th2 = jnp.sum(w * w)
+    small = th2 < 1e-12
+    th = jnp.sqrt(jnp.where(small, 1.0, th2))
+    A = jnp.where(small, 1.0 - th2 / 6.0, jnp.sin(th) / th)
+    B = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / th2)
+    Kx = jnp.array([[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]],
+                    [-w[1], w[0], 0.0]], w.dtype)
+    return jnp.eye(3, dtype=w.dtype) + A * Kx + B * (Kx @ Kx)
 
 
 def distort_points(points: jax.Array, K: jax.Array, dist: jax.Array,

@@ -142,25 +142,40 @@ def verify_loop(frame_cache, poses, i: int, j: int, K,
     dj = int((frame_cache[j]["depth"] > 0).sum())
     if max(di, dj) == 0:
         return None, 0, 0
-    m, q = (i, j) if di >= dj else (j, i)  # m = map frame, q = query
-    fm, fq = frame_cache[m], frame_cache[q]
-    fn = _verify_fn(fm["kp"].shape[0], matcher_th, ransac_batch, 5)
-    R, t, n, n_map = fn(
-        jnp.asarray(fm["kp"]), jnp.asarray(fm["desc"]),
-        jnp.asarray(fm["valid"]), jnp.asarray(fm["depth"]),
-        jnp.asarray(poses[m][:3, :3], jnp.float32),
-        jnp.asarray(poses[m][:3, 3], jnp.float32),
-        jnp.asarray(fq["kp"]), jnp.asarray(fq["desc"]),
-        jnp.asarray(fq["valid"]), jnp.asarray(K, jnp.float32), key,
-        jnp.asarray(inl_th, jnp.float32))
-    T_q = np.eye(4, dtype=np.float64)
-    T_q[:3, :3] = np.asarray(R)
-    T_q[:3, 3] = np.asarray(t)
-    if q == i:  # measured pose of i in m=j's drift-local frame
-        T_rel = np.linalg.inv(poses[j]) @ T_q
-    else:  # measured pose of j against i's map
-        T_rel = np.linalg.inv(T_q) @ poses[i]
-    return T_rel, int(n), int(n_map)
+
+    def _try(m: int, q: int):
+        """PnP the query frame q against map frame m's depth table."""
+        fm, fq = frame_cache[m], frame_cache[q]
+        fn = _verify_fn(fm["kp"].shape[0], matcher_th, ransac_batch, 5)
+        R, t, n, n_map = fn(
+            jnp.asarray(fm["kp"]), jnp.asarray(fm["desc"]),
+            jnp.asarray(fm["valid"]), jnp.asarray(fm["depth"]),
+            jnp.asarray(poses[m][:3, :3], jnp.float32),
+            jnp.asarray(poses[m][:3, 3], jnp.float32),
+            jnp.asarray(fq["kp"]), jnp.asarray(fq["desc"]),
+            jnp.asarray(fq["valid"]), jnp.asarray(K, jnp.float32), key,
+            jnp.asarray(inl_th, jnp.float32))
+        T_q = np.eye(4, dtype=np.float64)
+        T_q[:3, :3] = np.asarray(R)
+        T_q[:3, 3] = np.asarray(t)
+        if q == i:  # measured pose of i in m=j's drift-local frame
+            T_rel = np.linalg.inv(poses[j]) @ T_q
+        else:  # measured pose of j against i's map
+            T_rel = np.linalg.inv(T_q) @ poses[i]
+        return T_rel, int(n), int(n_map)
+
+    # try BOTH directions when both frames carry a map: degraded revisits
+    # often verify cleanly against one frame's map but not the other's
+    # (round-4: the denser-map-only choice dropped a true edge at 10/52
+    # while the other direction verified at 20/50)
+    cands = [(i, j)] if dj == 0 else ([(j, i)] if di == 0 else
+                                     [(i, j), (j, i)])
+    best = None
+    for m, q in cands:
+        T_rel, n, n_map = _try(m, q)
+        if best is None or n > best[1]:
+            best = (T_rel, n, n_map)
+    return best
 
 
 def close_loops(frame_cache, poses, K, min_separation: int = 10,

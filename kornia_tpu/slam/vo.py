@@ -198,6 +198,14 @@ class VisualOdometry:
             n_map = jnp.sum(map_ok)
             use_pnp = has_prev & (n_p >= pnp_min) & \
                 (n_p >= 0.6 * jnp.maximum(n_map, 1))
+            # NOTE round-4: a motion-only huber polish of the selected
+            # pose against the map (ORB-SLAM pose-optimization style) was
+            # tried here and REMOVED — the single-pair-triangulated map
+            # is biased enough that fitting the pose to it degraded the
+            # strong-baseline sequences (walk7 0.8% -> 5.3%). PnP RANSAC's
+            # internal GN (now actually converging after the exp-map
+            # jacobian fix, geometry/calibration.py:_exp_so3_cal) already
+            # polishes on its re-gated inlier set.
             R1 = jnp.where(use_pnp, R1_p, R1_2v)
             t1 = jnp.where(use_pnp, t1_p, t1_2v)
             inliers = jnp.where(use_pnp, inl_p, inl_2v)

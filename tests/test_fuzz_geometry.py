@@ -273,3 +273,40 @@ def test_spatial_softargmax_peak_fuzz(seed):
     out = spatial_soft_argmax2d(r, temperature=jnp.asarray(1.0),
                                 normalized_coordinates=False)
     np.testing.assert_allclose(np.asarray(out[0, 0]), [xx, yy], atol=0.1)
+
+
+def test_exp_so3_jacobian_finite_at_zero():
+    """Regression (round-4): the Rodrigues exp map must have a FINITE
+    jacobian at w=0 — the naive norm(w) form NaN'd exactly where every
+    Gauss-Newton step linearizes, silently turning pnp_ransac's polish
+    into a no-op (accept-if-better always rejected the NaN update)."""
+    from kornia_tpu.geometry.calibration import _exp_so3_cal
+    J = jax.jacfwd(_exp_so3_cal)(jnp.zeros(3))
+    assert bool(jnp.isfinite(J).all())
+    np.testing.assert_allclose(np.asarray(_exp_so3_cal(jnp.zeros(3))),
+                               np.eye(3), atol=1e-7)
+    # still exact away from zero
+    w = jnp.asarray([0.3, -0.2, 0.5])
+    R = kt.geometry.axis_angle_to_rotation_matrix(w[None])[0]
+    np.testing.assert_allclose(np.asarray(_exp_so3_cal(w)), np.asarray(R),
+                               atol=1e-5)
+
+
+def test_refine_pose_gn_recovers_pose():
+    """Motion-only huber GN recovers an exact pose from identity init and
+    is a no-op under an empty mask."""
+    from kornia_tpu.geometry.calibration import refine_pose_gn
+    X = jax.random.normal(jax.random.PRNGKey(0), (48, 3)) \
+        + jnp.asarray([0.0, 0.0, 5.0])
+    aa = jnp.asarray([0.05, -0.08, 0.03])
+    R = kt.geometry.axis_angle_to_rotation_matrix(aa[None])[0]
+    t = jnp.asarray([0.1, -0.05, 0.2])
+    Xc = X @ R.T + t
+    uv = Xc[:, :2] / Xc[:, 2:]
+    Rf, tf = refine_pose_gn(X, uv, jnp.eye(3), jnp.zeros(3), 0.01,
+                            jnp.ones(48, bool), iters=12)
+    np.testing.assert_allclose(np.asarray(Rf), np.asarray(R), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tf), np.asarray(t), atol=1e-4)
+    R0, t0 = refine_pose_gn(X, uv, jnp.eye(3), jnp.zeros(3), 0.01,
+                            jnp.zeros(48, bool), iters=4)
+    np.testing.assert_allclose(np.asarray(R0), np.eye(3), atol=1e-6)
