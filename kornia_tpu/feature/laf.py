@@ -344,27 +344,36 @@ def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
     # keypoint's sample extent is <= 126 px per axis. For isotropic LAFs
     # the pyramid level bounds the extent at 2*sqrt(2)*PS < 126 for
     # PS <= 44; strongly ANISOTROPIC LAFs (e.g. elongated AffNet shapes,
-    # ADVICE r3 medium) can exceed it — those keypoints are detected with
-    # a per-keypoint mask and resampled through the XLA path, which only
-    # executes (lax.cond) when at least one oversized LAF is present.
+    # ADVICE r3 medium) can exceed it — those keypoints are resampled
+    # through a BUDGETED XLA fallback: up to _FB keypoints are compacted
+    # and gathered (fixed shapes, ~1 ms), NOT a lax.cond over the full
+    # N-keypoint XLA path — under vmap a cond executes BOTH branches,
+    # which made every batched pipeline pay the 56 ms gather path
+    # (round-4 regression: 16.2 -> 4.6 pairs/s until this fix).
     use_pallas = (B == 1 and C == 1 and W >= 256 and Htot >= 136
                   and PS <= 44
                   and (jax.default_backend() == "tpu" or _FORCE_PALLAS))
     if use_pallas:
+        import os
         from ..ops.pallas_kernels import patch_sample_mxu
+        from ..ops.warp import grid_sample
         pxf = px.reshape(N, PS * PS)
         pyf = py.reshape(N, PS * PS)
         fits = ((jnp.max(pxf, 1) - jnp.min(pxf, 1) <= 126.0)
                 & (jnp.max(pyf, 1) - jnp.min(pyf, 1) <= 126.0))  # (N,)
         fast = patch_sample_mxu(
             atlas[0, 0], pxf, pyf,
-            interpret=jax.default_backend() != "tpu")
-
-        def _mixed(_):
-            slow = _xla_sample()[0, :, 0].reshape(N, PS * PS)
-            return jnp.where(fits[:, None], fast, slow)
-
-        out = jax.lax.cond(jnp.all(fits), lambda _: fast, _mixed, None)
+            interpret=jax.default_backend() != "tpu",
+            mode=os.environ.get("KORNIA_TPU_PATCH_MODE", "split"))
+        _FB = min(64, N)  # oversized-LAF fallback budget
+        bad_idx = jnp.nonzero(~fits, size=_FB, fill_value=0)[0]  # (_FB,)
+        nx = 2.0 * pxf[bad_idx] / max(W - 1, 1) - 1.0
+        ny = 2.0 * pyf[bad_idx] / max(Htot - 1, 1) - 1.0
+        grid = jnp.stack([nx, ny], -1).reshape(1, _FB * PS * PS, 1, 2)
+        slow = grid_sample(atlas[:1, :1], grid, "bilinear", "border",
+                           True).reshape(_FB, PS * PS)
+        patched = jnp.where(fits[bad_idx][:, None], fast[bad_idx], slow)
+        out = fast.at[bad_idx].set(patched)
         out = out.reshape(1, N, 1, PS, PS)
         return jnp.where(in_range[:, :, None, None, None], out, 0.0)
 

@@ -162,8 +162,10 @@ class ScalePyramid:
             kernels, lvl_sigmas = self._level_kernels(cur_sigma)
             sigmas = [cur_sigma * pixel_dist] + \
                 [s * pixel_dist for s in lvl_sigmas]
+            import os
             if (jax.default_backend() == "tpu" and 32 <= h_o <= 768
-                    and 32 <= w_o <= 768):
+                    and 32 <= w_o <= 768
+                    and os.environ.get("KORNIA_TPU_ML_BLUR", "1") != "0"):
                 # every level of the octave in ONE pallas_call: the
                 # sequential blur chain as cumulative banded-operator
                 # products (exact semantics, no inter-level dependency —
