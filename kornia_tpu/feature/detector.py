@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.dtype import as_float
-from ..geometry.subpix import conv_quad_interp3d, nms3d
+from ..geometry.subpix import (conv_quad_interp3d,
+                               conv_quad_interp3d_planes, nms3d,
+                               quad_fit3d_planes)
 from ..ops.pyramid import ScalePyramid
 from .laf import laf_from_center_scale_ori
 from .responses import gftt_response, harris_response, hessian_response
@@ -103,16 +105,31 @@ class ScaleSpaceDetector:
                 sig_local = (sig / dist).reshape(B * L)
                 resp = self.resp(flat, sigmas=sig_local)
                 resp = resp.reshape(B, L, C, h, w)[:, :, 0]  # (B, L, h, w)
-            # 3D quadratic localization over (level, y, x)
+            # 3D quadratic localization over (level, y, x). The offset
+            # components stay SEPARATE PLANES: only the top-k winners'
+            # offsets are ever gathered — materializing a (B, 1, 3, L,
+            # h, w) coords volume was ~2/3 of the detector's device time
+            # at 480p (round-4 profile)
             vol = resp[:, None]  # (B, 1, L, h, w)
-            coords, refined = conv_quad_interp3d(
-                vol, self.strict_maxima_bonus)
+            # ONE quadratic fit serves both signs: fitting -vol negates
+            # gradient and Hessian, so offsets are identical and dval
+            # negates (subpix.quad_fit3d_planes) — the minima branch
+            # costs a min-pool instead of a second full fit
+            ox, oy, osc, dval = quad_fit3d_planes(vol)
+            from jax import lax as _lax
+            pooled_max = _lax.reduce_window(
+                vol, -jnp.inf, _lax.max, (1, 1, 3, 3, 3),
+                (1, 1, 1, 1, 1), "SAME")
+            refined = vol + dval + self.strict_maxima_bonus * (
+                vol == pooled_max).astype(vol.dtype)
             if self.minima_are_also_good:
-                coords_min, refined_min = conv_quad_interp3d(
-                    -vol, self.strict_maxima_bonus)
+                pooled_min = -_lax.reduce_window(
+                    -vol, -jnp.inf, _lax.max, (1, 1, 3, 3, 3),
+                    (1, 1, 1, 1, 1), "SAME")
+                refined_min = -(vol + dval) + self.strict_maxima_bonus * (
+                    vol == pooled_min).astype(vol.dtype)
                 take_min = refined_min > refined
                 refined = jnp.where(take_min, refined_min, refined)
-                coords = jnp.where(take_min[:, :, None], coords_min, coords)
             nmsed = nms3d(refined, (3, 3, 3))[:, 0]  # (B, L, h, w)
             # exclude border levels (quad interp invalid there)
             level_mask = jnp.zeros((L,), bool).at[1:L - 1].set(True)
@@ -120,27 +137,38 @@ class ScaleSpaceDetector:
             flat_resp = nmsed.reshape(B, -1)
             k_oct = min(K_out, flat_resp.shape[-1])
             vals, idx = jax.lax.top_k(flat_resp, k_oct)
-            # gather refined coords (x, y, s)
-            cflat = coords[:, 0].reshape(B, 3, -1)  # (B, 3, L*h*w)
-            cx = jnp.take_along_axis(cflat[:, 0], idx, axis=-1)
-            cy = jnp.take_along_axis(cflat[:, 1], idx, axis=-1)
-            cs = jnp.take_along_axis(cflat[:, 2], idx, axis=-1)
+            # winners' integer grid position + gathered offsets
+            iz = idx // (h * w)
+            iy = (idx // w) % h
+            ix = idx % w
+            fz = iz.astype(jnp.float32)
+            fy = iy.astype(jnp.float32)
+            fx = ix.astype(jnp.float32)
+            cx = fx + jnp.take_along_axis(ox[:, 0].reshape(B, -1), idx, -1)
+            cy = fy + jnp.take_along_axis(oy[:, 0].reshape(B, -1), idx, -1)
+            cs = fz + jnp.take_along_axis(osc[:, 0].reshape(B, -1), idx, -1)
             # sigma from fractional level index, scaled to original pixels
             sigma0 = sig[:, 0:1]
             step = self.scale_pyr.sigma_step
             kp_sigma = sigma0 * jnp.power(step, cs)
             pixel_dist = dist[:, 0:1]
-            xy = jnp.stack([cx, cy], axis=-1) * pixel_dist[..., None]
-            all_xy.append(xy)
+            all_xy.append((cx * pixel_dist, cy * pixel_dist))
             all_resp.append(jnp.where(vals > -jnp.inf / 2, vals, -jnp.inf))
             all_scale.append(self.mr_size * kp_sigma)
-        xy = jnp.concatenate(all_xy, axis=1)
+        cx_all = jnp.concatenate([p[0] for p in all_xy], axis=1)
+        cy_all = jnp.concatenate([p[1] for p in all_xy], axis=1)
         resp_all = jnp.concatenate(all_resp, axis=1)
         scale_all = jnp.concatenate(all_scale, axis=1)
-        # global fixed-K top-k over all octaves
+        # global fixed-K top-k over all octaves. The coordinate gathers
+        # stay PER-COMPONENT 1-element takes: take_along_axis on a
+        # (B, N, 2) array lowers to a multi-dim-slice gather that XLA TPU
+        # executes ~40x slower than flat gathers (measured round 3;
+        # round-4 profile: this one line was 23 of the detector's
+        # 29 ms/frame at 480p)
         k_final = min(K_out, resp_all.shape[-1])
         vals, idx = jax.lax.top_k(resp_all, k_final)
-        xy = jnp.take_along_axis(xy, idx[..., None], axis=1)
+        xy = jnp.stack([jnp.take_along_axis(cx_all, idx, axis=1),
+                        jnp.take_along_axis(cy_all, idx, axis=1)], axis=-1)
         scale = jnp.take_along_axis(scale_all, idx, axis=1)
         valid = vals > 0
         if k_final < K_out:  # pad to requested K

@@ -263,7 +263,12 @@ class LocalFeatureMatcher:
         valid = jnp.stack(out_valid)
         kp0 = get_laf_center(lafs0)
         kp1_all = get_laf_center(lafs1)
-        kp1 = jnp.take_along_axis(kp1_all, idx[..., 1:2], axis=1)
+        # per-component flat gathers: take_along_axis on the (B, N, 2)
+        # point array is a multi-dim-slice gather, ~40x slower on TPU
+        j1 = idx[..., 1]
+        kp1 = jnp.stack([jnp.take_along_axis(kp1_all[..., 0], j1, axis=1),
+                         jnp.take_along_axis(kp1_all[..., 1], j1, axis=1)],
+                        axis=-1)
         return {
             "keypoints0": kp0,
             "keypoints1": kp1,

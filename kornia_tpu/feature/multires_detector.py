@@ -142,7 +142,12 @@ class MultiResolutionDetector:
         neg_fill = jnp.finfo(scores.dtype).min / 2
         k = min(self.num_features, scores.shape[1])
         top, idx = jax.lax.top_k(jnp.where(valid, scores, neg_fill), k)
-        lafs = jnp.take_along_axis(lafs, idx[..., None, None], axis=1)
+        # gather the 6 LAF components as flat takes (a (B, N, 2, 3)
+        # take_along_axis is a multi-dim-slice gather, ~40x slower on TPU)
+        lafs = jnp.stack([
+            jnp.stack([jnp.take_along_axis(lafs[:, :, i, j], idx, axis=1)
+                       for j in range(3)], axis=-1)
+            for i in range(2)], axis=-2)
         valid = jnp.take_along_axis(valid, idx, axis=1)
         return jnp.where(valid, top, 0.0), lafs, valid
 

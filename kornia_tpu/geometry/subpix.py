@@ -213,14 +213,16 @@ def conv_soft_argmax3d(
     return coords
 
 
-def conv_quad_interp3d(x: jax.Array, strict_maxima_bonus: float = 10.0,
-                       eps: float = 1e-7) -> Tuple[jax.Array, jax.Array]:
-    """Quadratic subpixel refinement of 3D local maxima in a (B, C, D, H, W)
-    scale-space response (reference: subpix/spatial_soft_argmax.py:665 —
-    the SIFT-style detector's localization step).
+def quad_fit3d_planes(x: jax.Array, eps: float = 1e-7
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                 jax.Array]:
+    """The raw quadratic fit: returns (ox, oy, os, dval) planes, each
+    (B, C, D, H, W), with NO strict-maxima bonus applied.
 
-    Returns (coords (B, C, 3, D, H, W) with (x, y, s) offsets applied to
-    the integer grid, refined values (B, C, D, H, W))."""
+    Sign symmetry worth knowing (used by ScaleSpaceDetector): fitting -x
+    negates gradient AND Hessian, so the offset -H^-1 g is IDENTICAL and
+    dval negates — the minima branch of a detector needs NO second fit.
+    """
     x = as_float(x)
     B, C, D, H, W = x.shape
     # first and second derivatives by central differences
@@ -239,49 +241,92 @@ def conv_quad_interp3d(x: jax.Array, strict_maxima_bonus: float = 10.0,
     dxy = 0.25 * (sl(0, 1, 1) - sl(0, 1, -1) - sl(0, -1, 1) + sl(0, -1, -1))
     dxs = 0.25 * (sl(1, 0, 1) - sl(1, 0, -1) - sl(-1, 0, 1) + sl(-1, 0, -1))
     dys = 0.25 * (sl(1, 1, 0) - sl(1, -1, 0) - sl(-1, 1, 0) + sl(-1, -1, 0))
-    # Hessian (3x3) and gradient (3,) per voxel, order (x, y, s)
-    Hmat = jnp.stack(
-        [
-            jnp.stack([dxx, dxy, dxs], axis=-1),
-            jnp.stack([dxy, dyy, dys], axis=-1),
-            jnp.stack([dxs, dys, dss], axis=-1),
-        ],
-        axis=-2,
-    )  # (B, C, D, H, W, 3, 3)
-    g = jnp.stack([gx, gy, gs], axis=-1)[..., None]  # (..., 3, 1)
-    # solve H dx = -g with regularization; clamp offsets to [-0.5, 0.5].
+    # Solve H dx = -g with regularization; clamp offsets to [-0.5, 0.5].
     # The degeneracy test MUST be scale-invariant: response magnitudes are
     # arbitrary (GFTT scores are ~1e-4, so det(H) ~ 1e-12 — an absolute
     # eps silently zeroed every offset and quantized keypoints to the
     # integer grid, costing ~1 px of localization accuracy).
-    eye = jnp.eye(3, dtype=x.dtype)
-    hscale = jnp.maximum(jnp.max(jnp.abs(Hmat), axis=(-1, -2)), 1e-20)
-    Hn = Hmat / hscale[..., None, None] + eps * eye
-    gn = g / hscale[..., None, None]
-    # closed-form cofactor solve: per-voxel LU (jnp.linalg.solve) lowers to
-    # scalar pivoting code that runs ~30x slower than elementwise math on
-    # the TPU VPU; the cofactor determinant doubles as the degeneracy test
-    from ..core.linalg import det_3x3, inverse_3x3
-    det = det_3x3(Hn)
+    #
+    # TPU-critical: the solve stays PURE COMPONENT ARITHMETIC on the
+    # (B, C, D, H, W) planes. Stacking into (..., 3, 3)/(..., 3) arrays
+    # puts 3-wide minor dimensions into the (8, 128) tile layout — a
+    # ~40x padded-memory blowup that made this stage ~half the whole
+    # detector (round-4 profile: detector 35 ms/frame at 480p; the
+    # stacked form dominated it).
+    hscale = jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.abs(dxx), jnp.abs(dyy)),
+                    jnp.maximum(jnp.abs(dss), jnp.abs(dxy))),
+        jnp.maximum(jnp.maximum(jnp.abs(dxs), jnp.abs(dys)), 1e-20))
+    a = dxx / hscale + eps
+    b = dxy / hscale
+    c = dxs / hscale
+    d_ = dyy / hscale + eps
+    e = dys / hscale
+    f = dss / hscale + eps
+    gxn = gx / hscale
+    gyn = gy / hscale
+    gsn = gs / hscale
+    # cofactors of the symmetric [[a,b,c],[b,d,e],[c,e,f]]
+    A00 = d_ * f - e * e
+    A01 = c * e - b * f
+    A02 = b * e - c * d_
+    det = a * A00 + b * A01 + c * A02
     ok = jnp.abs(det) > 1e-6
-    offset = -jnp.einsum("...ij,...j->...i", inverse_3x3(Hn), gn[..., 0])
-    offset = jnp.where(ok[..., None], offset, 0.0)
-    offset = jnp.clip(offset, -0.5, 0.5)
-    dval = 0.5 * jnp.sum(g[..., 0] * offset, axis=-1)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    A11 = a * f - c * c
+    A12 = b * c - a * e
+    A22 = a * d_ - b * b
+    # offset = -H^-1 g (symmetric inverse via cofactors)
+    ox = -(A00 * gxn + A01 * gyn + A02 * gsn) * inv_det
+    oy = -(A01 * gxn + A11 * gyn + A12 * gsn) * inv_det
+    os_ = -(A02 * gxn + A12 * gyn + A22 * gsn) * inv_det
+    ox = jnp.clip(ox, -0.5, 0.5)
+    oy = jnp.clip(oy, -0.5, 0.5)
+    os_ = jnp.clip(os_, -0.5, 0.5)
+    dval = 0.5 * (gx * ox + gy * oy + gs * os_)
+    return ox, oy, os_, dval
+
+
+def conv_quad_interp3d_planes(
+        x: jax.Array, strict_maxima_bonus: float = 10.0,
+        eps: float = 1e-7
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Quadratic subpixel refinement, PLANES form: returns
+    (ox, oy, os, refined), each (B, C, D, H, W) — the offset components
+    stay separate planes so a detector can top-k on `refined` and gather
+    offsets ONLY at the winners instead of materializing a
+    (B, C, 3, D, H, W) coords volume."""
+    x = as_float(x)
+    ox, oy, os_, dval = quad_fit3d_planes(x, eps)
     y_refined = x + dval
-    # strict maxima bonus: reward voxels that are the strict local max
     if strict_maxima_bonus > 0:
         pooled = lax.reduce_window(
             x, -jnp.inf, lax.max, (1, 1, 3, 3, 3), (1, 1, 1, 1, 1), "SAME")
         is_max = (x == pooled)
         y_refined = y_refined + strict_maxima_bonus * is_max.astype(x.dtype)
-    # coords: integer grid + offsets, order (x, y, s)
+    return ox, oy, os_, y_refined
+
+
+def conv_quad_interp3d(x: jax.Array, strict_maxima_bonus: float = 10.0,
+                       eps: float = 1e-7) -> Tuple[jax.Array, jax.Array]:
+    """Quadratic subpixel refinement of 3D local maxima in a (B, C, D, H, W)
+    scale-space response (reference: subpix/spatial_soft_argmax.py:665 —
+    the SIFT-style detector's localization step).
+
+    Returns (coords (B, C, 3, D, H, W) with (x, y, s) offsets applied to
+    the integer grid, refined values (B, C, D, H, W)). Hot callers that
+    only need offsets at a few winners should use
+    `conv_quad_interp3d_planes` instead of materializing `coords`."""
+    x = as_float(x)
+    B, C, D, H, W = x.shape
+    ox, oy, os_, y_refined = conv_quad_interp3d_planes(
+        x, strict_maxima_bonus, eps)
     zs = jnp.arange(D, dtype=x.dtype).reshape(D, 1, 1)
     ys = jnp.arange(H, dtype=x.dtype).reshape(1, H, 1)
     xs = jnp.arange(W, dtype=x.dtype).reshape(1, 1, W)
-    cx = jnp.broadcast_to(xs, (B, C, D, H, W)) + offset[..., 0]
-    cy = jnp.broadcast_to(ys, (B, C, D, H, W)) + offset[..., 1]
-    cs = jnp.broadcast_to(zs, (B, C, D, H, W)) + offset[..., 2]
+    cx = jnp.broadcast_to(xs, (B, C, D, H, W)) + ox
+    cy = jnp.broadcast_to(ys, (B, C, D, H, W)) + oy
+    cs = jnp.broadcast_to(zs, (B, C, D, H, W)) + os_
     coords = jnp.stack([cx, cy, cs], axis=2)
     return coords, y_refined
 
