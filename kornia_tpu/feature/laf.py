@@ -350,7 +350,7 @@ def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
     # N-keypoint XLA path — under vmap a cond executes BOTH branches,
     # which made every batched pipeline pay the 56 ms gather path
     # (round-4 regression: 16.2 -> 4.6 pairs/s until this fix).
-    use_pallas = (B == 1 and C == 1 and W >= 256 and Htot >= 136
+    use_pallas = (B == 1 and C == 1 and W >= 256 and Htot >= 128
                   and PS <= 44
                   and (jax.default_backend() == "tpu" or _FORCE_PALLAS))
     if use_pallas:
@@ -359,8 +359,10 @@ def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
         from ..ops.warp import grid_sample
         pxf = px.reshape(N, PS * PS)
         pyf = py.reshape(N, PS * PS)
+        # y budget 118 (window 128 = pad-free MXU contraction dim),
+        # x budget 126 (window 256)
         fits = ((jnp.max(pxf, 1) - jnp.min(pxf, 1) <= 126.0)
-                & (jnp.max(pyf, 1) - jnp.min(pyf, 1) <= 126.0))  # (N,)
+                & (jnp.max(pyf, 1) - jnp.min(pyf, 1) <= 118.0))  # (N,)
         fast = patch_sample_mxu(
             atlas[0, 0], pxf, pyf,
             interpret=jax.default_backend() != "tpu",

@@ -428,7 +428,9 @@ def _cum_op(step: jax.Array, cum: jax.Array) -> jax.Array:
 # Affine patch sampling: per-keypoint DMA window + 2-hot matmul bilinear
 # ---------------------------------------------------------------------------
 
-_WIN_H = 136   # sublane-aligned window height (8 | 136)
+_WIN_H = 128   # sublane-aligned window height; ALSO the one-hot
+               # matmul contraction dim — 128 is pad-free on the
+               # MXU (136 padded its lanes to 256, ~1.9x waste)
 _WIN_W = 256   # lane-aligned window width (128 | 256)
 
 
@@ -463,11 +465,22 @@ def _patch_sample_kernel(corners_ref, px_ref, py_ref, atlas_ref, out_ref,
             atlas_ref.at[pl.ds(cy, _WIN_H), pl.ds(cx, _WIN_W)],
             win_ref.at[slot], sem_ref.at[slot])
 
-    dma_for(0, 0).start()
+    S = px_ref.shape[1]
+    # loop-invariant iotas, hoisted out of the per-keypoint loop
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * S, _WIN_H), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (S, _WIN_H), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (S, _WIN_W), 1)
+
+    # 4-deep DMA pipeline: keep three windows in flight ahead of the
+    # compute (2-slot double buffering left the per-keypoint loop
+    # latency-bound on the 139 KB window fetch)
+    _NS = 4
+    for ahead in range(min(_NS - 1, _KP_BLK)):
+        dma_for(ahead, ahead % _NS).start()
     for nb in range(_KP_BLK):
-        slot = nb % 2
-        if nb + 1 < _KP_BLK:
-            dma_for(nb + 1, (nb + 1) % 2).start()
+        slot = nb % _NS
+        if nb + _NS - 1 < _KP_BLK:
+            dma_for(nb + _NS - 1, (nb + _NS - 1) % _NS).start()
         dma_for(nb, slot).wait()
         cx = corners_ref[n * _KP_BLK + nb, 1]
         cy = corners_ref[n * _KP_BLK + nb, 0]
@@ -479,23 +492,23 @@ def _patch_sample_kernel(corners_ref, px_ref, py_ref, atlas_ref, out_ref,
         y0 = jnp.floor(y)
         tx = x - x0
         ty = y - y0
-        S = x.shape[0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (S, _WIN_H), 1)
         y0i = y0.astype(jnp.int32)[:, None]
         if mode == "split":
+            # ONE wide (2S, 136) x (136, 512) dot per keypoint: the
+            # y0/y0+1 one-hot selectors stacked along M, the hi/lo
+            # bf16-split window along N — same MACs as four separate
+            # dots but a single maximally-wide MXU op
             w0 = win_ref[slot]
             hi = w0.astype(jnp.bfloat16).astype(jnp.float32)
             lo = w0 - hi
-            oh0 = (rows == y0i).astype(jnp.float32)
-            oh1 = (rows == y0i + 1).astype(jnp.float32)
-
-            def _sel(oh):
-                return (jax.lax.dot(oh, hi,
-                                    preferred_element_type=jnp.float32)
-                        + jax.lax.dot(oh, lo,
-                                      preferred_element_type=jnp.float32))
-
-            P = (1.0 - ty[:, None]) * _sel(oh0) + ty[:, None] * _sel(oh1)
+            wcat = jnp.concatenate([hi, lo], axis=1)  # (136, 512)
+            y0cat = jnp.concatenate([y0i, y0i + 1], axis=0)  # (2S, 1)
+            ohcat = (rows2 == y0cat).astype(jnp.float32)
+            D = jax.lax.dot(ohcat, wcat,
+                            preferred_element_type=jnp.float32)  # (2S, 512)
+            P0 = D[:S, :_WIN_W] + D[:S, _WIN_W:]
+            P1 = D[S:, :_WIN_W] + D[S:, _WIN_W:]
+            P = (1.0 - ty[:, None]) * P0 + ty[:, None] * P1
         else:
             wy = (jnp.where(rows == y0i, 1.0 - ty[:, None], 0.0)
                   + jnp.where(rows == y0i + 1, ty[:, None], 0.0))
@@ -505,7 +518,6 @@ def _patch_sample_kernel(corners_ref, px_ref, py_ref, atlas_ref, out_ref,
             P = jax.lax.dot(wy, win_ref[slot],
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)  # (S, 256)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (S, _WIN_W), 1)
         x0i = x0.astype(jnp.int32)[:, None]
         wx = (jnp.where(cols == x0i, 1.0 - tx[:, None], 0.0)
               + jnp.where(cols == x0i + 1, tx[:, None], 0.0))
@@ -518,10 +530,10 @@ def patch_sample_mxu(atlas: jax.Array, px: jax.Array, py: jax.Array,
                      mode: str = "split") -> jax.Array:
     """Bilinear-sample S points per keypoint from a 2D atlas.
 
-    atlas: (H, W) f32, W >= 256, H >= 136. px/py: (N, S) absolute pixel
+    atlas: (H, W) f32, W >= 256, H >= 128. px/py: (N, S) absolute pixel
     coords. Each keypoint's DMA window is anchored at its SAMPLE BOUNDING
     BOX (not a center): coverage is exact whenever the per-keypoint
-    extent max-min is <= 126 px per axis — twice the old center-anchored
+    extent max-min is <= 118 px (y) / 126 px (x) — twice the old center-anchored
     budget, so moderately anisotropic LAFs fit (ADVICE r3 medium; callers
     mask-and-fall-back past that, feature/laf.py). Samples outside the
     window clamp to its border.
@@ -565,8 +577,8 @@ def patch_sample_mxu(atlas: jax.Array, px: jax.Array, py: jax.Array,
         ],
         out_specs=pl.BlockSpec((_KP_BLK, Sp), lambda n, c: (n, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, _WIN_H, _WIN_W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, _WIN_H, _WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out = pl.pallas_call(
