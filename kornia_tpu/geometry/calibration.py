@@ -159,9 +159,10 @@ def refine_pose_gn(world_points: jax.Array, img_points: jax.Array,
     huber-IRLS Gauss-Newton over se3 from an initial (R0, t0), minimizing
     reprojection of `world_points` onto normalized `img_points` over the
     masked set. Steps are accept-if-better on the huber cost; an empty
-    mask is a no-op. Used by slam/vo.py after PnP/two-view model
-    selection — the robust weighting lets it use the LOOSE track set
-    rather than a hard inlier set."""
+    mask is a no-op. Standalone utility: slam/vo.py deliberately does NOT
+    call it — the per-step polish degraded strong-baseline sequences
+    (round-4 finding), so VO relies on windowed BA for refinement
+    instead. Kept public for motion-only relocalization uses."""
     from ..losses.robust import huber_weight
     d2 = huber_delta * huber_delta
 
@@ -181,7 +182,7 @@ def refine_pose_gn(world_points: jax.Array, img_points: jax.Array,
         return jnp.sum(jnp.where(ok, rho, 0.0))
 
     def gn_step(carry, _):
-        Rm, tm = carry
+        Rm, tm, cm = carry
         r, z = project_res(Rm, tm)
         r2 = jnp.sum(r * r, -1)
         w = huber_weight(r2, huber_delta) * (mask & (z > 1e-6))
@@ -199,10 +200,13 @@ def refine_pose_gn(world_points: jax.Array, img_points: jax.Array,
         dx = -jnp.linalg.solve(H, J.T @ r0)
         Rn = _exp_so3_cal(dx[:3]) @ Rm
         tn = tm + dx[3:]
-        better = cost(Rn, tn) < cost(Rm, tm)
-        return (jnp.where(better, Rn, Rm), jnp.where(better, tn, tm)), None
+        cn = cost(Rn, tn)
+        better = cn < cm
+        return (jnp.where(better, Rn, Rm), jnp.where(better, tn, tm),
+                jnp.where(better, cn, cm)), None
 
-    (R, t), _ = jax.lax.scan(gn_step, (R0, t0), None, length=iters)
+    (R, t, _), _ = jax.lax.scan(gn_step, (R0, t0, cost(R0, t0)), None,
+                                length=iters)
     return R, t
 
 

@@ -602,14 +602,14 @@ def blur_pool2d(x: jax.Array, kernel_size: int = 3, stride: int = 2) -> jax.Arra
 def max_blur_pool2d(x: jax.Array, kernel_size: int = 3, stride: int = 2,
                     max_pool_size: int = 2, ceil_mode: bool = False) -> jax.Array:
     """Max-pool (stride 1, NO padding — the map shrinks by max_pool_size-1,
-    reference blur_pool.py:327) then anti-aliased downsample."""
+    reference blur_pool.py:327) then anti-aliased downsample.
+
+    `ceil_mode` is accepted for API parity but is a no-op: at stride 1 the
+    output extent (H-k)/1+1 is exact, so torch's ceil_mode never adds a
+    window (reference _max_blur_pool_by_kernel2d passes it straight to
+    F.max_pool2d where it has no effect)."""
+    del ceil_mode
     x = as_float(x)
-    if ceil_mode and max_pool_size > 1:
-        # torch ceil_mode pads bottom/right so the stride-1 window count
-        # rounds up (one extra row/col of -inf never wins a max with real
-        # values because replicate-padding is used instead)
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, max_pool_size - 1),
-                        (0, max_pool_size - 1)), mode="edge")
     x = lax.reduce_window(
         x, -jnp.inf, lax.max,
         (1, 1, max_pool_size, max_pool_size), (1, 1, 1, 1), "VALID",

@@ -128,11 +128,11 @@ def test_histogram_matching_fuzz():
 
 def test_diamond_square_contract():
     out = C.diamond_square((1, 1, 17, 17), random_scale=0.5,
-                           rng=jax.random.PRNGKey(0))
+                           key=jax.random.PRNGKey(0))
     assert out.shape == (1, 1, 17, 17)
     assert bool(jnp.isfinite(out).all())
     out2 = C.diamond_square((1, 1, 17, 17), random_scale=0.5,
-                            rng=jax.random.PRNGKey(0))
+                            key=jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=0)
 
 

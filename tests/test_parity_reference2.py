@@ -138,6 +138,17 @@ class TestFilterParity2:
         ref = kornia.filters.max_blur_pool2d(t(IMG), 3)
         allclose(ours, ref, atol=1e-5)
 
+    def test_max_blur_pool_ceil_mode(self):
+        # ceil_mode is a stride-1 no-op in torch; shapes+values must match
+        # (ADVICE r4: our old edge-pad branch produced 17x17 vs ref 16x16
+        # at H=W=33).
+        from kornia_tpu.ops.filters import max_blur_pool2d
+        img = np.random.RandomState(7).rand(1, 3, 33, 33).astype(np.float32)
+        ours = max_blur_pool2d(j(img), 3, ceil_mode=True)
+        ref = kornia.filters.max_blur_pool2d(t(img), 3, ceil_mode=True)
+        assert tuple(ours.shape) == tuple(ref.shape), (ours.shape, ref.shape)
+        allclose(ours, ref, atol=1e-5)
+
     def test_guided_blur(self):
         from kornia_tpu.ops.filters import guided_blur
         ours = guided_blur(j(GRAY), j(IMG), 5, 0.01)
