@@ -33,6 +33,8 @@ BA uses ITERATION scaling (T(24 iters) - T(4)) / 20 for the same reason.
 import json
 import math
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -213,11 +215,75 @@ def bench_aug():
     return geo(tps), geo(speedups)
 
 
+def _ate_provenance(ate_path):
+    """Git hash + staleness of ATE_RESULTS.json vs the last slam/ change.
+
+    VERDICT r4 weak-1: BENCH_r04 embedded a round-3 artifact verbatim with
+    nothing recording its age. Stamp the artifact's last commit and flag
+    STALE when any slam/VO/ate-bench source changed after it."""
+    root = os.path.dirname(os.path.abspath(__file__))
+
+    def last_commit(*paths):
+        try:
+            out = subprocess.run(
+                ["git", "log", "-1", "--format=%h %ct", "--", *paths],
+                cwd=root, capture_output=True, text=True, timeout=30)
+            h, t = out.stdout.split()
+            return h, int(t)
+        except Exception:
+            return None, None
+
+    ate_h, ate_t = last_commit("ATE_RESULTS.json")
+    src_h, src_t = last_commit("kornia_tpu/slam", "kornia_tpu/geometry",
+                               "kornia_tpu/feature", "benchmarks/ate_bench.py")
+    prov = {"ate_commit": ate_h, "slam_src_commit": src_h}
+    if ate_t is not None and src_t is not None:
+        prov["stale"] = bool(ate_t < src_t)
+        if prov["stale"]:
+            prov["note"] = ("STALE: ATE_RESULTS.json predates the last "
+                            "slam/geometry/feature change — re-run "
+                            "benchmarks/ate_bench.py --save")
+    return prov
+
+
+def _aug_median_of_processes(n=3):
+    """Run the aug sweep in n SEPARATE processes and take the median.
+
+    The remote TPU pool schedules identical executables anywhere from
+    0.07 ms to 30 ms (CLAUDE.md); a single process's numbers are not
+    trendable (VERDICT r4 weak-2: 53k → 182k → 45k across rounds). Median
+    of n fresh processes is the honest estimator."""
+    me = os.path.abspath(__file__)
+    tps, spds = [], []
+    for i in range(n):
+        r = subprocess.run([sys.executable, me, "--aug-only"],
+                           capture_output=True, text=True, timeout=1800)
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        try:
+            d = json.loads(line)
+            tps.append(d["aug_tp"])
+            spds.append(d["aug_speed"])
+        except Exception:
+            print(f"aug subprocess {i} failed: {r.stderr[-500:]}",
+                  file=sys.stderr)
+    if not tps:  # all subprocesses failed: fall back to in-process
+        tp, spd = bench_aug()
+        return tp, spd, 1
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    return med(tps), med(spds), len(tps)
+
+
 def main():
+    if "--aug-only" in sys.argv:
+        aug_tp, aug_speed = bench_aug()
+        print(json.dumps({"aug_tp": aug_tp, "aug_speed": aug_speed}))
+        return
+
     fps_640 = bench_twoview(480, 640, 1024)
     fps_256 = bench_twoview(256, 256, 512)
     ba_it_s = bench_ba_iters()
-    aug_tp, aug_speed = bench_aug()
+    aug_tp, aug_speed, aug_n = _aug_median_of_processes(
+        int(os.environ.get("BENCH_AUG_PROCS", "3")))
 
     out = {
         "metric": "twoview_fps_per_chip_480x640_1024f",
@@ -230,12 +296,14 @@ def main():
         "ba_iters_per_s_c50_p2k_o10k": round(ba_it_s, 1),
         "aug_geomean_img_s_b32_256": round(aug_tp, 1),
         "aug_vs_torch_cpu_same_machine": round(aug_speed, 2),
+        "aug_process_count": aug_n,
     }
     ate_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "ATE_RESULTS.json")
     if os.path.exists(ate_path):
         with open(ate_path) as f:
             out["ate"] = json.load(f)
+        out["ate"]["provenance"] = _ate_provenance(ate_path)
     print(json.dumps(out))
 
 

@@ -132,6 +132,67 @@ def run_sparse(D: int, P_per_dev: int = 2500, C: int = 100, T: int = 6,
     return iters / dt
 
 
+def _make_circuit_graph(Npg: int, n_extra: int, seed: int = 0):
+    """Circuit trajectory + random long-range edges (the dryrun's shape)."""
+    from kornia_tpu.geometry.liegroup import Se3, So3
+    from kornia_tpu.slam.posegraph import PoseGraph
+    rng = np.random.default_rng(seed)
+    ang = np.linspace(0, 2 * np.pi, Npg, endpoint=False)
+    t_gt = np.stack([np.cos(ang) * 8, np.sin(ang) * 8, np.zeros(Npg)], -1)
+    q_gt = np.stack([np.cos((ang + np.pi / 2) / 2), np.zeros(Npg),
+                     np.zeros(Npg), np.sin((ang + np.pi / 2) / 2)], -1)
+    gt = Se3(So3.from_wxyz(jnp.asarray(q_gt)), jnp.asarray(t_gt))
+    extra = rng.integers(0, Npg, size=(n_extra, 2))
+    extra = extra[np.abs(extra[:, 0] - extra[:, 1]) > Npg // 8]
+    sp = np.concatenate([np.arange(Npg - 1), extra[:, 0]])
+    dp = np.concatenate([np.arange(1, Npg), extra[:, 1]])
+    Ti = Se3(So3.from_wxyz(gt.r.q.data[sp]), gt.t[sp])
+    Tj = Se3(So3.from_wxyz(gt.r.q.data[dp]), gt.t[dp])
+    E = sp.shape[0]
+    graph = PoseGraph(jnp.asarray(sp), jnp.asarray(dp), Ti.inverse() * Tj,
+                      jnp.ones(E), jnp.ones(E, bool))
+    nz = 0.03 * jax.random.normal(jax.random.PRNGKey(9), (Npg, 6))
+    dTn = Se3.exp(nz.at[0].set(0.0))
+    p0 = Se3(dTn.r * gt.r,
+             jnp.einsum("nij,nj->ni", dTn.r.matrix(), gt.t) + dTn.t)
+    return sp, dp, graph, p0
+
+
+def run_posegraph(D: int, Npg: int, n_extra: int, iters: int = 6):
+    """Dense vs streaming distributed pose graph: cost per LM iteration.
+
+    VERDICT r4 item 8: record BOTH paths at a size both hold, and the
+    streaming path alone past the dense path's separator refusal point
+    (dense = replicated (K*6)^2 Schur psum, max_separators=384)."""
+    from jax.sharding import Mesh
+    from kornia_tpu.parallel.dist_posegraph import (
+        distributed_pose_graph, distributed_pose_graph_streaming,
+        partition_pose_graph)
+    sp, dp, graph, p0 = _make_circuit_graph(Npg, n_extra)
+    mesh = Mesh(np.array(jax.devices()[:D]).reshape(D), ("data",))
+    part = partition_pose_graph(sp, dp, np.ones(sp.shape[0], bool), Npg, D)
+    out = {"num_separators": int(part.num_separators)}
+
+    def timeit(fn, **kw):
+        _, costs = fn(mesh, p0, graph, part, num_iters=2, **kw)
+        jax.block_until_ready(costs)  # warm/compile
+        t0 = time.perf_counter()
+        _, costs = fn(mesh, p0, graph, part, num_iters=iters, **kw)
+        jax.block_until_ready(costs)
+        return iters / (time.perf_counter() - t0), float(costs[-1])
+
+    try:
+        ips, c = timeit(distributed_pose_graph)
+        out["dense_iters_per_s"] = round(ips, 2)
+        out["dense_final_cost"] = c
+    except ValueError as e:
+        out["dense_refused"] = str(e).split(";")[0]
+    ips, c = timeit(distributed_pose_graph_streaming, cg_iters=64)
+    out["streaming_iters_per_s"] = round(ips, 2)
+    out["streaming_final_cost"] = c
+    return out
+
+
 def main():
     results = {}
     base = None
@@ -153,6 +214,11 @@ def main():
         results[f"ba_sparse100c_iters_per_s_{D}dev"] = round(ips, 2)
         results[f"sparse_weak_scaling_eff_{D}dev"] = round(ips / base_s, 3)
         results[f"sparse_points_{D}dev"] = D * 2500
+    D = min(8, jax.device_count())
+    # both paths at a size the dense one holds (K ~ 90)
+    results["posegraph_small"] = run_posegraph(D, 256, 64)
+    # beyond the dense refusal point: >=512 separators, streaming only
+    results["posegraph_large"] = run_posegraph(D, 2048, 400)
     print(json.dumps(results))
 
 

@@ -142,12 +142,30 @@ def distributed_pose_graph(
     init_lambda: float = 1e-4,
     robust_delta: float = 1.0,
     fix_first: bool = True,
+    max_separators: int = 384,
 ) -> Tuple[Se3, jax.Array]:
     """LM over the submap-sharded pose graph. Returns (poses (N,), costs).
 
     poses: (N,) Se3 in GLOBAL order; the partition layout is internal.
+
+    Refuses graphs whose separator count exceeds `max_separators`: this
+    path materializes and psums the FULL (K*6)^2 separator Schur
+    complement on every device every iteration — at K=512 that is a
+    37.7 MB replicated f32 block, past v5e VMEM (~16 MB per core), so
+    the executable degrades to HBM-spilled matmuls and O(K^2) ICI/DCN
+    traffic, defeating the design. Use
+    `distributed_pose_graph_streaming` (block-CSR + PCG, O(K) memory
+    and O(K) psum per matvec) past that scale.
     """
     K, Ni = part.num_separators, part.num_internal
+    if K > max_separators:
+        raise ValueError(
+            f"distributed_pose_graph: {K} separators > max_separators="
+            f"{max_separators}; the dense (K*6)^2 Schur psum "
+            f"({(K * 6) ** 2 * 4 / 2 ** 20:.1f} MB replicated per device "
+            "per iteration) does not fit the VMEM design budget — use "
+            "distributed_pose_graph_streaming for separator counts at "
+            "this scale.")
     D = mesh.shape["data"]
     N = poses.t.shape[0]
 

@@ -104,7 +104,8 @@ def test_streaming_beyond_vmem_separator_scale():
     cross-submap loop edges drives K to ~600 separators -> the dense S
     is (3600, 3600) PER DEVICE plus an O(K^2) psum; the streaming path
     touches only O(K) per matvec. Checks convergence + accuracy against
-    ground truth (no dense run at this scale — that is the point)."""
+    checks that the dense path REFUSES the graph (max_separators guard,
+    VERDICT r5 item 8), then streaming convergence + accuracy vs GT."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from kornia_tpu.parallel.dist_posegraph import (
@@ -122,7 +123,7 @@ def test_streaming_beyond_vmem_separator_scale():
     # separators under an 8-way contiguous partition
     src = list(range(N - 1))
     dst = list(range(1, N))
-    extra = rng.integers(0, N, size=(340, 2))
+    extra = rng.integers(0, N, size=(520, 2))
     extra = extra[np.abs(extra[:, 0] - extra[:, 1]) > N // 8]
     src += extra[:, 0].tolist()
     dst += extra[:, 1].tolist()
@@ -140,7 +141,12 @@ def test_streaming_beyond_vmem_separator_scale():
                  jnp.einsum("nij,nj->ni", dT.r.matrix(), poses_gt.t) + dT.t)
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
     part = partition_pose_graph(src, dst, np.ones(E, bool), N, 8)
-    assert part.num_separators >= 350, part.num_separators
+    assert part.num_separators >= 512, part.num_separators
+    # the dense path must refuse: its replicated (K*6)^2 Schur psum at
+    # this K is a ~40 MB f32 block per device per iteration
+    from kornia_tpu.parallel.dist_posegraph import distributed_pose_graph
+    with pytest.raises(ValueError, match="max_separators"):
+        distributed_pose_graph(mesh, poses0, graph, part, num_iters=2)
     pstr, cstr = distributed_pose_graph_streaming(
         mesh, poses0, graph, part, num_iters=12, cg_iters=100)
     # f32 PCG plateaus around 1e-6 relative (the dense Cholesky path
