@@ -75,7 +75,7 @@ def _bench_batch_scaled(make_args, fn, b_lo, b_hi):
 def bench_twoview(H, W, NF):
     """Two-view front end, batch-scaled pairs/s."""
     from kornia_tpu.slam.twoview import _two_view_fn
-    single = _two_view_fn((1, 1, H, W), NF, 1024, 8, 0.95)
+    single = _two_view_fn((1, 1, H, W), NF, 256, 32, 0.95)
     batched = jax.vmap(single, in_axes=(0, 0, None, 0, None))
     from kornia_tpu.ops.filters import gaussian_blur2d
     from kornia_tpu.ops.warp import warp_perspective

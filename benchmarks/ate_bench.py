@@ -106,8 +106,24 @@ def main():
                     help="override VisualOdometry ba_iters")
     ap.add_argument("--gnc", type=float, nargs=3, default=None,
                     help="override GNC deltas (wide cauchy tight)")
-    ap.add_argument("--ransac-iters", type=int, default=8,
+    ap.add_argument("--no-incremental-ba", action="store_true")
+    ap.add_argument("--no-ba-map-feedback", action="store_true")
+    ap.add_argument("--ba-track-budget", type=int, default=None,
+                    help="override VO ba_track_budget (static track cap "
+                         "for the window/global BA)")
+    ap.add_argument("--global-ba-frames", type=int, default=None,
+                    help="override VO global_ba_frames (set <3 to force "
+                         "the sliding-window final pass instead of the "
+                         "two-pass global BA)")
+    ap.add_argument("--ransac-iters", type=int, default=32,
                     help="RANSAC max iterations (early exit prunes)")
+    ap.add_argument("--pg-optimizer", type=str, default="se3",
+                    choices=("se3", "sim3"),
+                    help="loop-closure pose-graph parameterization")
+    ap.add_argument("--pg-iters", type=int, default=40)
+    ap.add_argument("--post-ba", action="store_true",
+                    help="re-run the cached keyframe BA from the "
+                         "loop-closed poses (global-BA-after-closure)")
     ap.add_argument("--seqs", type=str, default=None,
                     help="comma-separated prefixes to run (walk,orbit,loop)")
     args = ap.parse_args()
@@ -115,6 +131,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from kornia_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # reuse detector/pair/BA executables across runs
     import jax.numpy as jnp
     import numpy as np
 
@@ -150,6 +168,14 @@ def main():
         vo_kw["ba_iters"] = args.ba_iters
     if args.gnc is not None:
         vo_kw["gnc_deltas"] = tuple(args.gnc)
+    if args.global_ba_frames is not None:
+        vo_kw["global_ba_frames"] = args.global_ba_frames
+    if args.ba_track_budget is not None:
+        vo_kw["ba_track_budget"] = args.ba_track_budget
+    if args.no_incremental_ba:
+        vo_kw["incremental_ba"] = False
+    if args.no_ba_map_feedback:
+        vo_kw["ba_map_feedback"] = False
 
     rows = []
     for name, traj in seqs:
@@ -160,7 +186,7 @@ def main():
         L = float(np.sum(np.linalg.norm(np.diff(gt_c, axis=0), axis=1)))
         vo = VisualOdometry(K, num_features=args.features,
                             ransac_iters=args.ransac_iters,
-                            ransac_batch=1024, **vo_kw)
+                            ransac_batch=256, **vo_kw)
 
         t0 = time.perf_counter()
         res_ch = vo.run(frames, refine=False)
@@ -194,7 +220,12 @@ def main():
                 min_separation=max(args.frames // 4, 10), sim_th=0.75,
                 min_inliers=15, min_inlier_frac=0.35, inl_th=1.5 / f,
                 loop_weight=10.0,
-                pg_iters=40)
+                pg_iters=args.pg_iters, optimizer=args.pg_optimizer)
+            if args.post_ba and lc_edges:
+                closed_ba = vo.refine_from_cache(closed)
+                print(f"  [loop] post-BA: closed {ate(closed):.4f} -> "
+                      f"{ate(closed_ba):.4f}")
+                closed = closed_ba
             a_lc = ate(closed)
             print(f"  [loop] accepted edges: "
                   f"{[(e.i, e.j, e.num_inliers) for e in lc_edges]} "

@@ -117,12 +117,12 @@ def main():
     kpsB = lambda B: jnp.concatenate([kp[None]] * B, 0)
     rows["ransac_ess"] = marginal(
         jax.vmap(lambda a, b, k: ransac(a, b, k, "essential", inl_th=th,
-                                        batch_size=1024, max_iterations=8,
+                                        batch_size=256, max_iterations=32,
                                         mask=v).model),
         lambda B: (kpsB(B), kpsB(B) + 0.001,
                    jax.random.split(jax.random.PRNGKey(2), 8)[:B]))
 
-    single = _two_view_fn((1, 1, H, W), NF, 1024, 8, 0.95)
+    single = _two_view_fn((1, 1, H, W), NF, 256, 32, 0.95)
     batched = jax.vmap(single, in_axes=(0, 0, None, 0, None))
 
     def pair_args(B):

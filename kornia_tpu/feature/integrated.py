@@ -33,17 +33,22 @@ class LAFDescriptor:
     (reference: integrated.py:86)."""
 
     def __init__(self, patch_descriptor=None, patch_size: int = 41,
-                 grayscale_descriptor: bool = True):
+                 grayscale_descriptor: bool = True,
+                 patch_mode: Optional[str] = None):
         self.descriptor = patch_descriptor or SIFTDescriptor(patch_size)
         self.patch_size = patch_size
         self.grayscale = grayscale_descriptor
+        # Pallas sampling mode for the TPU patch kernel (None -> exact
+        # "split"); "bf16" quarters the MXU work for descriptor use
+        self.patch_mode = patch_mode
 
     def __call__(self, img: jax.Array, lafs: jax.Array) -> jax.Array:
         B, N = lafs.shape[:2]
         if self.grayscale and img.shape[1] == 3:
             from ..ops.color import rgb_to_grayscale
             img = rgb_to_grayscale(img)
-        patches = extract_patches_from_pyramid(img, lafs, self.patch_size)
+        patches = extract_patches_from_pyramid(img, lafs, self.patch_size,
+                                               pallas_mode=self.patch_mode)
         flat = patches.reshape(B * N, *patches.shape[2:])
         descs = self.descriptor(flat)
         return descs.reshape(B, N, -1)
@@ -88,7 +93,7 @@ class SIFTFeature(LocalFeature):
     """DoG + orientation + (Root)SIFT (reference: integrated.py:177)."""
 
     def __init__(self, num_features: int = 500, rootsift: bool = True,
-                 double_image: bool = False):
+                 double_image: bool = False, fast_patches: bool = False):
         from ..ops.pyramid import ScalePyramid
         detector = ScaleSpaceDetector(
             num_features,
@@ -99,7 +104,9 @@ class SIFTFeature(LocalFeature):
             mr_size=6.0,
         )
         desc = SIFTDescriptor(patch_size=41, rootsift=rootsift)
-        super().__init__(detector, LAFDescriptor(desc, 41), LAFOrienter(19))
+        pm = "bf16" if fast_patches else None
+        super().__init__(detector, LAFDescriptor(desc, 41, patch_mode=pm),
+                         LAFOrienter(19, patch_mode=pm))
 
 
 def _blob_dog_resp(x: jax.Array, sigmas=None) -> jax.Array:
@@ -118,14 +125,17 @@ class GFTTSIFTFeature(LocalFeature):
     preferred for odometry (analogue of the reference's
     GFTTAffNetHardNet preset with a deterministic descriptor)."""
 
-    def __init__(self, num_features: int = 500, rootsift: bool = True):
+    def __init__(self, num_features: int = 500, rootsift: bool = True,
+                 fast_patches: bool = False):
         from ..ops.pyramid import ScalePyramid
         detector = ScaleSpaceDetector(
             num_features, resp=gftt_response,
             scale_pyr=ScalePyramid(3, 1.6, 32, double_image=False),
             mr_size=6.0)
         desc = SIFTDescriptor(patch_size=41, rootsift=rootsift)
-        super().__init__(detector, LAFDescriptor(desc, 41), LAFOrienter(19))
+        pm = "bf16" if fast_patches else None
+        super().__init__(detector, LAFDescriptor(desc, 41, patch_mode=pm),
+                         LAFOrienter(19, patch_mode=pm))
 
 
 class SIFTFeatureScaleSpace(LocalFeature):

@@ -257,10 +257,20 @@ def extract_patches_simple(img: jax.Array, laf: jax.Array, PS: int = 32,
 
 
 def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
-                                 normalize_lafs_before: bool = True
+                                 normalize_lafs_before: bool = True,
+                                 pallas_fallback_budget: int = 64,
+                                 pallas_mode: Optional[str] = None
                                  ) -> jax.Array:
     """Scale-aware patch extraction: each LAF samples from the pyramid
     level matching its scale (reference: laf.py:451).
+
+    TPU-path caveat (ADVICE r4): at most `pallas_fallback_budget`
+    keypoints whose sample extent exceeds the Pallas window budget
+    (126 px per axis) are resampled exactly through the XLA fallback;
+    any excess beyond the budget keeps window-clamped samples. Isotropic
+    detector LAFs never exceed the window for PS <= 44; raise the budget
+    (or it auto-disables the fast path — set it >= N to force exactness)
+    when feeding strongly anisotropic AffNet shapes at scale.
 
     TPU formulation: pack every pyramid level into ONE vertically-stacked
     atlas image and run a single bilinear gather pass — per-keypoint level
@@ -366,8 +376,9 @@ def extract_patches_from_pyramid(img: jax.Array, laf: jax.Array, PS: int = 32,
         fast = patch_sample_mxu(
             atlas[0, 0], pxf, pyf,
             interpret=jax.default_backend() != "tpu",
-            mode=os.environ.get("KORNIA_TPU_PATCH_MODE", "split"))
-        _FB = min(64, N)  # oversized-LAF fallback budget
+            mode=pallas_mode
+            or os.environ.get("KORNIA_TPU_PATCH_MODE", "split"))
+        _FB = min(pallas_fallback_budget, N)  # oversized-LAF budget
         bad_idx = jnp.nonzero(~fits, size=_FB, fill_value=0)[0]  # (_FB,)
         nx = 2.0 * pxf[bad_idx] / max(W - 1, 1) - 1.0
         ny = 2.0 * pyf[bad_idx] / max(Htot - 1, 1) - 1.0

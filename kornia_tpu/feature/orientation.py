@@ -83,14 +83,18 @@ class LAFOrienter:
     the current orientation (reference: orientation.py:215 LAFOrienter)."""
 
     def __init__(self, patch_size: int = 32, num_angular_bins: int = 36,
-                 angle_detector: Optional[Callable[[jax.Array], jax.Array]] = None):
+                 angle_detector: Optional[Callable[[jax.Array], jax.Array]] = None,
+                 patch_mode: Optional[str] = None):
         self.patch_size = patch_size
         self.num_angular_bins = num_angular_bins
         self.angle_detector = angle_detector
+        # Pallas sampling mode ("bf16" = fast descriptor-grade sampling)
+        self.patch_mode = patch_mode
 
     def __call__(self, laf: jax.Array, img: jax.Array) -> jax.Array:
         B, N = laf.shape[:2]
-        patches = extract_patches_from_pyramid(img, laf, self.patch_size)
+        patches = extract_patches_from_pyramid(img, laf, self.patch_size,
+                                               pallas_mode=self.patch_mode)
         patches = patches.reshape(B * N, *patches.shape[2:])
         if patches.shape[1] == 3:
             from ..ops.color import rgb_to_grayscale

@@ -211,6 +211,21 @@ def ransac(
         models = models.reshape(S * K, 3, 3)
         model_ok = jnp.repeat(sample_ok, K) & (
             jnp.linalg.norm(models.reshape(-1, 9), axis=-1) > 1e-6)
+        if K > 1 and N > 192:
+            # two-stage scoring: every candidate of a minimal sample fits
+            # its 5 points exactly, but only ~1 of the K is the true
+            # model — the rest are wildly wrong. A ~128-point strided
+            # prescore picks the per-sample winner at 1/K of the full
+            # scoring cost; only S winners see all N points (the MSAC
+            # scoring stage was ~K/(1+K·128/N)x the whole-round budget).
+            step = max(N // 128, 1)
+            msac_s, _ = _msac_scores(model_type, points1[::step],
+                                     points2[::step], models, mask[::step],
+                                     th2)
+            msac_s = jnp.where(model_ok, msac_s, jnp.inf)
+            bk = jnp.argmin(msac_s.reshape(S, K), axis=1)  # (S,)
+            models = models.reshape(S, K, 3, 3)[jnp.arange(S), bk]
+            model_ok = model_ok.reshape(S, K)[jnp.arange(S), bk]
         msac, cnt = _msac_scores(model_type, points1, points2, models,
                                  mask, th2)
         msac = jnp.where(model_ok, msac, jnp.inf)

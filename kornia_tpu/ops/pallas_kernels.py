@@ -509,6 +509,17 @@ def _patch_sample_kernel(corners_ref, px_ref, py_ref, atlas_ref, out_ref,
             P0 = D[:S, :_WIN_W] + D[:S, _WIN_W:]
             P1 = D[S:, :_WIN_W] + D[S:, _WIN_W:]
             P = (1.0 - ty[:, None]) * P0 + ty[:, None] * P1
+        elif mode == "bf16":
+            # single DEFAULT-precision pass: the MXU rounds the
+            # fractional 2-hot weights and the window to bf16 (~4e-3 abs
+            # on [0,1] images) — 4x fewer MACs than split. For descriptor
+            # pipelines only: SIFT gradient-histogram descriptors are
+            # invariant to intensity noise far above 4e-3, while the
+            # exact modes remain for parity-grade sampling.
+            wy = (jnp.where(rows == y0i, 1.0 - ty[:, None], 0.0)
+                  + jnp.where(rows == y0i + 1, ty[:, None], 0.0))
+            P = jax.lax.dot(wy, win_ref[slot],
+                            preferred_element_type=jnp.float32)  # (S, 256)
         else:
             wy = (jnp.where(rows == y0i, 1.0 - ty[:, None], 0.0)
                   + jnp.where(rows == y0i + 1, ty[:, None], 0.0))

@@ -95,8 +95,8 @@ def two_view_pose(
     K: jax.Array,
     key: Optional[jax.Array] = None,
     num_features: int = 512,
-    ransac_batch: int = 1024,
-    ransac_iters: int = 8,
+    ransac_batch: int = 256,
+    ransac_iters: int = 32,
     inl_th_px: float = 1.5,
     feature: Optional[object] = None,
 ) -> TwoViewResult:

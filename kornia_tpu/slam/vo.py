@@ -72,13 +72,16 @@ class VisualOdometry:
     scale-propagated chaining → optional windowed BA."""
 
     def __init__(self, K: jax.Array, num_features: int = 512,
-                 window: int = 5, ransac_iters: int = 8,
-                 ransac_batch: int = 1024, inl_th_px: float = 1.5,
+                 window: int = 5, ransac_iters: int = 32,
+                 ransac_batch: int = 256, inl_th_px: float = 1.5,
                  ba_iters: int = 12, matcher_th: float = 0.95,
                  global_ba_frames: int = 128,
                  kf_parallax: float = 0.022, kf_max_skip: int = 6,
                  kf_min_matches: int = 48, kf_match_decay: float = 0.45,
-                 gnc_deltas: Tuple[float, float, float] = (24.0, 2.0, 1.0)):
+                 gnc_deltas: Tuple[float, float, float] = (24.0, 2.0, 1.0),
+                 ba_track_budget: int = 4096,
+                 incremental_ba: bool = True,
+                 ba_map_feedback: bool = True):
         self.K = K
         self.window = window
         self.ba_iters = ba_iters
@@ -97,6 +100,17 @@ class VisualOdometry:
         # GNC annealing schedule (pixel-scale multiples of s_px): wide
         # huber pull-in, cauchy, tight re-gated huber polish
         self.gnc_deltas = gnc_deltas
+        # static track-table cap for the window/global BA: when the real
+        # track count exceeds it, _build_window_tracks keeps the LONGEST
+        # tracks — at full global-BA scale (~100 keyframes x 512 kp) the
+        # cap binds hard and the longest-first bias selects low-parallax
+        # long-lived features, which under-constrains scale (round-5
+        # full-scale circuit: global BA degraded a 4.8% chain to 14.5%)
+        self.ba_track_budget = ba_track_budget
+        # diagnostics/ablation switches (round-5): run the per-keyframe
+        # local BA during tracking, and feed its refined map into PnP
+        self.incremental_ba = incremental_ba
+        self.ba_map_feedback = ba_map_feedback
         # corners (GFTT) give denser, better-distributed tracks than DoG
         # blobs for frame-to-frame odometry
         self.feature = GFTTSIFTFeature(num_features=num_features)
@@ -378,7 +392,7 @@ class VisualOdometry:
             skipped = 0
             depth_kf = depth_cur
             has_map = jnp.asarray(True)
-            if refine and kf_pos >= 2:
+            if refine and self.incremental_ba and kf_pos >= 2:
                 # incremental local BA (ORB-SLAM local-mapping role): refine
                 # the last <=W keyframes NOW, before the next tracking
                 # step — a bad step is corrected before its error
@@ -389,7 +403,7 @@ class VisualOdometry:
                                              kf_poses, s, kf_pos - s + 1)
                 for j, k in enumerate(kf_frames):
                     poses[k] = kf_poses[j]
-                if ba_depth is not None:
+                if ba_depth is not None and self.ba_map_feedback:
                     # PnP tracks against the BA-refined map where
                     # available; pair-triangulated depths fill the gaps
                     # (new tracks not yet in a refined window)
@@ -414,7 +428,35 @@ class VisualOdometry:
         for fi, (kpos, T_rel) in anchors.items():
             poses[fi] = T_rel @ poses[kf_frames[kpos]]
         self.kf_frames = kf_frames
+        # stash the keyframe track tables + anchors so a post-hoc global
+        # BA (refine_from_cache — e.g. after loop closure) can re-run the
+        # same refinement from an updated pose set
+        self._kf_tracks = (kf_kps, kf_next, kf_inl)
+        self._anchors = dict(anchors)
         return VOResult(poses=poses, num_inliers=inliers)
+
+    def refine_from_cache(self, poses: List[np.ndarray]
+                          ) -> List[np.ndarray]:
+        """Re-run the keyframe bundle adjustment from an UPDATED pose set
+        (ORB-SLAM's global-BA-after-loop-closure role) and re-anchor the
+        non-keyframes. Uses the track tables cached by the last `run`.
+
+        Caveat: the track set is sequential-pair only — it carries no
+        loop-closing observations, so over-iterating from loop-closed
+        poses can drift back toward the odometry optimum; callers should
+        compare ATE/consistency before and after (see
+        benchmarks/ate_bench.py --post-ba)."""
+        if not hasattr(self, "_kf_tracks"):
+            raise RuntimeError("refine_from_cache requires a prior run()")
+        kf_kps, kf_next, kf_inl = self._kf_tracks
+        kf_poses = [poses[k] for k in self.kf_frames]
+        kf_poses = self._refine_tracks(kf_kps, kf_next, kf_inl, kf_poses)
+        out = [p.copy() for p in poses]
+        for j, k in enumerate(self.kf_frames):
+            out[k] = kf_poses[j]
+        for fi, (kpos, T_rel) in self._anchors.items():
+            out[fi] = T_rel @ out[self.kf_frames[kpos]]
+        return out
 
     # -- sliding-window BA over chained tracks ----------------------------
     def _ba_window_fn(self, C: int, T_max: int, O_max: int):
@@ -533,7 +575,7 @@ class VisualOdometry:
         Kf = kps[0].shape[0]
         # track budget: keeps the dense Schur coupling block (C, T, 6, 3)
         # HBM-friendly at long-window sizes
-        T_budget = min(Kf * (W - 1), 4096)
+        T_budget = min(Kf * (W - 1), self.ba_track_budget)
         O_budget = min(2 * Kf * (W - 1), Kf * W)
         built = self._build_window_tracks(kps, pair_next, pair_inl, s, W,
                                           T_budget, O_budget)
@@ -609,10 +651,31 @@ class VisualOdometry:
         lengths = np.bincount(obs_trk_all, minlength=n_trk)
         kp_at_last = track_of[W - 1].copy()  # (Kf,) track id per keypoint
         if n_trk > T_budget or obs_cam_all.shape[0] > O_budget:
-            # keep the longest tracks (multi-view constraints are what BA
-            # is here for); remap ids densely
+            # STRATIFIED selection: round-robin the longest tracks from
+            # each first-frame bucket. Pure longest-first starved whole
+            # pair-slots of observations at global-BA scale (~100 kf x
+            # 512 kp -> ~20k tracks vs a 4k budget): long-lived, low-
+            # parallax features crowded out the short tracks that carry
+            # each step's baseline/scale, warping the circuit (round-5
+            # full-scale finding: global BA degraded 4.8% -> 14.5%).
+            # Round-robin keeps every inter-frame link constrained while
+            # still preferring multi-view tracks within each slot.
+            by_frame = [[] for _ in range(W)]
             order = np.argsort(-lengths[:n_trk], kind="stable")
-            keep = order[:T_budget]
+            for t in order:
+                by_frame[first_cam[t]].append(t)
+            keep_list = []
+            ptr = [0] * W
+            while len(keep_list) < min(n_trk, T_budget):
+                advanced = False
+                for f in range(W):
+                    if ptr[f] < len(by_frame[f]) and len(keep_list) < T_budget:
+                        keep_list.append(by_frame[f][ptr[f]])
+                        ptr[f] += 1
+                        advanced = True
+                if not advanced:
+                    break
+            keep = np.asarray(keep_list, np.int64)
             # trim further until the observation budget fits
             csum = np.cumsum(lengths[keep])
             n_keep = int(np.searchsorted(csum, O_budget, side="right"))

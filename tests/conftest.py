@@ -22,6 +22,13 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# NOTE on compile caching (VERDICT r4 item 4): a persistent XLA:CPU cache
+# was tried here and REVERTED — the AOT loader warned "machine type used
+# for compilation doesn't match the machine for execution … could lead to
+# SIGILL" on this pool's heterogeneous hosts, which risks silently wrong
+# test results. Suite wall time is managed by the slow-marker tier
+# instead (default run skips `slow`; --runslow enables everything).
+
 
 @pytest.fixture
 def key():
@@ -33,5 +40,21 @@ def rng():
     return np.random.default_rng(0)
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (heavy fuzz/parity/VO legs; mirrors "
+             "the reference's --runslow tier, TESTING.md:60-68)")
+
+
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running test")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

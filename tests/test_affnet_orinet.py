@@ -15,6 +15,8 @@ torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _randomize(module, seed):
     g = torch.Generator().manual_seed(seed)

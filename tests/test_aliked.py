@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from kornia_tpu.feature.aliked import ALIKED, _eigh2x2, dkd_detect
 from kornia_tpu.ops.deform_conv import deform_conv2d
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 rng = np.random.default_rng(7)
 
 

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 import kornia_tpu.augmentation as A
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 rng = np.random.default_rng(31)
 B, C, D, H, W = 2, 1, 6, 10, 12
 VOL = rng.random((B, C, D, H, W)).astype(np.float32)

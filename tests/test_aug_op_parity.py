@@ -26,6 +26,8 @@ import jax.numpy as jnp
 
 import kornia_tpu.augmentation as A
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 B = 2
 rng = np.random.default_rng(11)
 IMG = rng.random((B, 3, 24, 24)).astype(np.float32)

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 
 import kornia_tpu.augmentation as A
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 rng = np.random.default_rng(7)
 B, C, H, W = 2, 3, 30, 32
 IMG = rng.random((B, C, H, W)).astype(np.float32)

@@ -6,6 +6,9 @@ import numpy as np
 
 from kornia_tpu.feature.defmo import DeFMO
 from kornia_tpu.tracking.bytetrack import BoxTracker, ByteTracker
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
 
 rng = np.random.default_rng(3)
 

@@ -6,6 +6,8 @@ import pytest
 
 from kornia_tpu.feature.dedode import DeDoDe, sample_keypoints
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 class TestSampleKeypoints:
     def test_finds_planted_peaks(self):

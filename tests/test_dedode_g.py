@@ -19,6 +19,8 @@ import jax.numpy as jnp
 
 from kornia_tpu.feature.dinov2 import DinoV2ViT, load_dinov2_torch_weights
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 TINY = dict(patch_size=14, embed_dim=64, depth=3, num_heads=4,
             mlp_ratio=2.0, init_values=1.0)
 

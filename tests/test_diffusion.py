@@ -7,6 +7,9 @@ import numpy as np
 from kornia_tpu.augmentation import RandomDissolving
 from kornia_tpu.models.diffusion import (DDIMSchedule, DiffusionConfig,
                                          StableDiffusionDissolving)
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
 
 rng = np.random.default_rng(4)
 

@@ -15,6 +15,8 @@ torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 @pytest.fixture(scope="module")
 def ref():

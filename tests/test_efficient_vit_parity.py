@@ -20,6 +20,8 @@ from kornia_tpu.models.efficient_vit import (EfficientViT,
                                              EfficientViTConfig, forward,
                                              load_torch_weights)
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _randomize_bn(model):
     with torch.no_grad():

@@ -20,6 +20,8 @@ import pytest
 
 import kornia_tpu.augmentation as A
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 _SHAPES = [(1, 3, 17, 23), (2, 3, 32, 32), (3, 1, 24, 40)]
 
 

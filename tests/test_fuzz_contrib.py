@@ -11,6 +11,8 @@ import pytest
 
 import kornia_tpu.contrib as C
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 # ---------------------------------------------------------------------------
 # extract/combine patches roundtrip at awkward shapes

@@ -17,6 +17,8 @@ from kornia_tpu.geometry.epipolar import (
 from kornia_tpu.geometry.homography import find_homography_dlt
 from kornia_tpu.geometry.calibration import pnp_ransac, solve_pnp_dlt
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _two_view(key, n=64, noise=0.0, depth=4.0):
     """Synthetic calibrated two-view scene; returns (x0, x1, R, t, X)."""

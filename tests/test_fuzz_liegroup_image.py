@@ -13,6 +13,8 @@ import pytest
 
 from kornia_tpu.geometry.liegroup import Se2, Se3, So2, So3
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 # ---------------------------------------------------------------------------
 # So2/Se2 group laws over random tangents

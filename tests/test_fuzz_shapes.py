@@ -20,6 +20,8 @@ import pytest
 import kornia_tpu as kt
 from kornia_tpu import ops
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 # odd / non-square / tiny / lane-unaligned
 SHAPES = [(1, 7, 9), (2, 17, 31), (1, 32, 15), (2, 13, 128), (1, 5, 5)]
 

@@ -11,6 +11,8 @@ import pytest
 
 from kornia_tpu.ops import warp3d
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 _VOLS = [(1, 1, 5, 9, 11), (2, 2, 8, 12, 6), (1, 3, 4, 16, 16)]
 
 

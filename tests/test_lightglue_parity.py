@@ -15,6 +15,8 @@ torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _make_ref(**conf):
     from kornia.feature.lightglue import LightGlue as TorchLG

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from kornia_tpu.models.mobile_vit import (MobileViT, MobileViTConfig,
                                           forward, load_torch_weights)
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _randomize_bn(model):
     with torch.no_grad():

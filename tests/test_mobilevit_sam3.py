@@ -6,6 +6,9 @@ import numpy as np
 
 from kornia_tpu.models.mobile_vit import MobileViT
 from kornia_tpu.models.sam3 import Sam3
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
 
 rng = np.random.default_rng(13)
 

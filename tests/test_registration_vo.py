@@ -8,6 +8,8 @@ from kornia_tpu.geometry.registration import ImageRegistrator, Similarity
 from kornia_tpu.ops.filters import gaussian_blur2d
 from kornia_tpu.ops.warp import get_rotation_matrix2d, warp_perspective
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 class TestImageRegistrator:
     def test_recovers_known_homography(self, key):

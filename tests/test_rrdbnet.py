@@ -11,6 +11,8 @@ from kornia_tpu.models.rrdbnet import (RRDBNet, RRDBNetBuilder,
                                        RRDBNetConfig, forward, init_params,
                                        load_torch_weights, _param_specs)
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _tiny(scale):
     return RRDBNetConfig(num_feat=8, num_block=2, num_grow_ch=4,

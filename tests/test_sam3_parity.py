@@ -20,6 +20,8 @@ from kornia_tpu.models.sam3 import (Sam3Config, decode_masks, encode_image,
                                     encode_masks, encode_points,
                                     load_torch_weights, no_mask_embed)
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 CFG = Sam3Config(img_size=64, patch_size=16, encoder_embed_dim=64,
                  encoder_depth=2, encoder_num_heads=4,
                  prompt_embed_dim=32, mask_in_chans=8,

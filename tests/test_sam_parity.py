@@ -22,6 +22,8 @@ from kornia_tpu.models.sam import (Sam, SamConfig, boxes_to_points,
                                    encode_masks, encode_points,
                                    load_torch_weights, no_mask_embed)
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 CFG = SamConfig(image_size=64, patch_size=16, encoder_embed_dim=64,
                 encoder_depth=3, encoder_num_heads=2,
                 encoder_global_attn_indexes=(1,), window_size=3,

@@ -22,6 +22,8 @@ from kornia_tpu.models.siglip2_exact import (SigLip2Exact,
                                              text_forward)
 from kornia_tpu.models.siglip2_vision import SigLip2VisionModelConfig
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _cfgs():
     from kornia.models.siglip2.config import (SigLip2Config,

@@ -29,6 +29,8 @@ from kornia.feature.sold2.structures import (HeatMapRefineCfg,
 from kornia_tpu.feature.sold2 import (detect_line_segments,
                                       refine_segments_perturb)
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _line_heatmap(H, W, segments, sigma=1.0):
     """Render soft line segments into an (H, W) heatmap."""

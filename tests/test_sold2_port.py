@@ -15,6 +15,8 @@ torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def test_sold2net_port():
     from kornia.feature.sold2.backbones import SOLD2Net as RefNet

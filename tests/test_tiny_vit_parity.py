@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from kornia_tpu.models.tiny_vit import (TinyViT, TinyViTConfig, classify,
                                         encode_image, load_torch_weights)
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _randomize(model):
     with torch.no_grad():

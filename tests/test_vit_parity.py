@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from kornia_tpu.models.vit import (ViTConfig, VisionTransformer, forward,
                                    load_torch_weights)
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 class TestViTParity:
     def test_tokens(self):

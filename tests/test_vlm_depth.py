@@ -8,6 +8,9 @@ from kornia_tpu.models.depth_anything import (DepthAnything,
                                               DepthAnythingConfig)
 from kornia_tpu.models.siglip2 import (SigLip2, SigLip2Config, siglip_loss)
 from kornia_tpu.models.vlm import VLM, VLMConfig
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
 
 rng = np.random.default_rng(11)
 

@@ -19,6 +19,8 @@ from kornia_tpu.slam.vo import VisualOdometry
 from kornia_tpu.utils.render import (make_room_scene, render_sequence,
                                      walk_trajectory)
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _cam_centers(poses):
     return np.stack([-p[:3, :3].T @ p[:3, 3] for p in poses])

@@ -22,6 +22,8 @@ from kornia_tpu.slam.vo import VisualOdometry
 from kornia_tpu.utils.render import (loop_trajectory, make_room_scene,
                                      orbit_trajectory, render_sequence)
 
+pytestmark = pytest.mark.slow  # heavy leg: run with --runslow
+
 
 def _cam_centers(poses):
     return np.stack([-p[:3, :3].T @ p[:3, 3] for p in poses])
