@@ -181,6 +181,104 @@ def build_defmo():
     return np.asarray(out)
 
 
+def build_tfeat():
+    from kornia_tpu.feature.descriptors import TFeat
+    model = TFeat(key=_key())
+    return np.asarray(model(_img((4, 1, 32, 32))))
+
+
+def build_sosnet():
+    from kornia_tpu.feature.descriptors import SOSNet
+    model = SOSNet(key=_key())
+    return np.asarray(model(_img((4, 1, 32, 32))))
+
+
+def build_hynet():
+    from kornia_tpu.feature.descriptors import HyNet
+    model = HyNet(key=_key())
+    return np.asarray(model(_img((4, 1, 32, 32))))
+
+
+def build_mkd():
+    # parameter-free handcrafted descriptor: the golden freezes the
+    # embedding/gradient math itself (reference: feature/mkd.py:540)
+    from kornia_tpu.feature.mkd import MKDDescriptor
+    model = MKDDescriptor(patch_size=32, kernel_type="concat",
+                          whitening=None)
+    return np.asarray(model(_img((4, 1, 32, 32))))
+
+
+def build_orinet():
+    from kornia_tpu.feature.affnet import OriNet
+    return np.asarray(OriNet()(_img((4, 1, 32, 32))))
+
+
+def build_affnet():
+    from kornia_tpu.feature.affnet import AffNet
+    return np.asarray(AffNet()(_img((4, 1, 32, 32))))
+
+
+def build_keynet_response():
+    # dense response map (not top-k detections: keypoint SELECTION can
+    # flip under f32 jitter and would make the golden fragile)
+    from kornia_tpu.feature.descriptors import KeyNet
+    model = KeyNet(key=_key())
+    return np.asarray(model(_img((1, 1, 48, 48))))
+
+
+def build_loftr_coarse():
+    # dense coarse+fine backbone features (selection-free, see above)
+    from kornia_tpu.feature.loftr import (LoFTRConfig, loftr_backbone,
+                                          loftr_init_params)
+    cfg = LoFTRConfig(coarse_dim=64, fine_dim=32, num_coarse_layers=1,
+                      num_heads=4, top_k=32)
+    params = loftr_init_params(_key(), cfg)
+    c, f = loftr_backbone(params, cfg, _img((1, 1, 64, 64)))
+    return np.concatenate([np.asarray(c).ravel(), np.asarray(f).ravel()])
+
+
+def build_dedode_detector():
+    import jax.numpy as jnp
+    from kornia_tpu.feature.dedode import DeDoDeDetector
+    det = DeDoDeDetector()
+    x = jnp.transpose(_img((1, 3, 64, 64)), (0, 2, 3, 1))
+    params = det.init(_key(), x)
+    return np.asarray(det.apply(params, x))
+
+
+def build_sold2_heatmaps():
+    import jax.numpy as jnp
+    from kornia_tpu.feature.sold2 import SOLD2Net
+    net = SOLD2Net()
+    x = jnp.transpose(_img((1, 1, 64, 64)), (0, 2, 3, 1))
+    params = net.init(_key(), x)
+    out = net.apply(params, x)
+    return np.concatenate([np.asarray(out["junctions"]).ravel(),
+                           np.asarray(out["heatmap"]).ravel()])
+
+
+def build_sam3():
+    import jax.numpy as jnp
+    from kornia_tpu.models.sam3 import Sam3
+    model = Sam3(img_size=64, encoder_dim=64, depth=2, num_heads=4)
+    coords = jnp.asarray([[[20.0, 24.0], [40.0, 36.0]]])
+    labels = jnp.asarray([[1, 0]], jnp.int32)
+    masks, iou = model(_img((1, 3, 64, 64)), coords, labels)
+    return np.concatenate([np.asarray(masks).ravel(),
+                           np.asarray(iou).ravel()])
+
+
+def build_siglip2():
+    import jax.numpy as jnp
+    from kornia_tpu.models.siglip2 import SigLip2, SigLip2Config
+    model = SigLip2(SigLip2Config.tiny(), key=_key())
+    ids = (jnp.arange(8, dtype=jnp.int32) * 17 % 1000)[None]
+    out = model(_img((1, 3, 32, 32)), ids)
+    return np.concatenate([np.asarray(v).ravel()
+                           for v in (out["image_embeds"], out["text_embeds"],
+                                     out["logits_per_text"])])
+
+
 BUILDERS = {
     "vit": build_vit,
     "tiny_vit": build_tiny_vit,
@@ -198,6 +296,18 @@ BUILDERS = {
     "xfeat": build_xfeat,
     "lightglue": build_lightglue,
     "defmo": build_defmo,
+    "tfeat": build_tfeat,
+    "sosnet": build_sosnet,
+    "hynet": build_hynet,
+    "mkd": build_mkd,
+    "orinet": build_orinet,
+    "affnet": build_affnet,
+    "keynet_response": build_keynet_response,
+    "loftr_coarse": build_loftr_coarse,
+    "dedode_detector": build_dedode_detector,
+    "sold2_heatmaps": build_sold2_heatmaps,
+    "sam3": build_sam3,
+    "siglip2": build_siglip2,
 }
 
 
