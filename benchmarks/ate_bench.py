@@ -121,6 +121,11 @@ def main():
                     choices=("se3", "sim3"),
                     help="loop-closure pose-graph parameterization")
     ap.add_argument("--pg-iters", type=int, default=40)
+    ap.add_argument("--kf-smooth", action="store_true",
+                    help="skip-edge keyframe pose-graph smoothing after "
+                         "refinement (smooth_keyframe_graph)")
+    ap.add_argument("--kf-smooth-skips", type=int, nargs="+",
+                    default=(2, 4))
     ap.add_argument("--post-ba", action="store_true",
                     help="re-run the cached keyframe BA from the "
                          "loop-closed poses (global-BA-after-closure)")
@@ -138,7 +143,7 @@ def main():
 
     from kornia_tpu.metrics.metrics import ate_rmse
     from kornia_tpu.slam.loop_closure import close_loops
-    from kornia_tpu.slam.vo import VisualOdometry
+    from kornia_tpu.slam.vo import VisualOdometry, VOResult
     from kornia_tpu.utils.render import (degrade_sequence, loop_trajectory,
                                          make_room_scene, orbit_trajectory,
                                          render_sequence, walk_trajectory)
@@ -200,6 +205,16 @@ def main():
                                   jnp.asarray(gt_c), with_scale=True))
 
         a_ch, a_rf = ate(res_ch.poses), ate(res_rf.poses)
+        if args.kf_smooth:
+            sm = vo.smooth_keyframes(res_rf.poses,
+                                     skips=tuple(args.kf_smooth_skips))
+            a_sm = ate(sm)
+            print(f"  [smooth] refined {a_rf:.4f} ({100*a_rf/L:.2f}%) -> "
+                  f"smoothed {a_sm:.4f} ({100*a_sm/L:.2f}%)")
+            # unconditional adoption (GT-aware selection would be
+            # cheating): --kf-smooth is a pipeline config, not an oracle
+            res_rf = VOResult(poses=sm, num_inliers=res_rf.num_inliers)
+            a_rf = a_sm
 
         a_lc = float("nan")
         if name.startswith("loop"):

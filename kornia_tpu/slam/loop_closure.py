@@ -246,3 +246,68 @@ def close_loops(frame_cache, poses, K, min_separation: int = 10,
         opt, _costs = optimize_pose_graph(nodes, graph, num_iters=pg_iters)
     M = np.asarray(opt.matrix())
     return [M[k] for k in range(F)], edges
+
+
+def smooth_keyframe_graph(frame_cache, poses, kf_frames, K,
+                          skips: Tuple[int, ...] = (2, 4),
+                          min_inliers: int = 20, pg_iters: int = 60,
+                          inl_th: float = 2e-3,
+                          key: Optional[jax.Array] = None
+                          ) -> List[np.ndarray]:
+    """Short-range SKIP-EDGE pose graph over the keyframe chain.
+
+    Chained odometry drift is a random walk over sequential steps; PnP
+    edges between keyframes `s` apart (the same map-verification used for
+    loop closure, so the edges carry world scale) cut the effective path
+    length by `s` and the accumulated drift by ~sqrt(s) — the SfM
+    view-graph idea applied locally. No reference counterpart (kornia has
+    no pose-graph machinery); measured on the 100-frame degraded orbit as
+    the only pipeline stage that improves on plain chaining (global BA's
+    optimum there is displaced by the fixating geometry's bas-relief
+    valley — see benchmarks/ba_probe.py).
+
+    poses: per-FRAME world→cam poses. kf_frames: frame index per
+    keyframe. Returns corrected per-frame poses (keyframes moved by the
+    graph; in-between frames must be re-anchored by the caller — see
+    VisualOdometry.smooth_keyframes).
+    """
+    n = len(kf_frames)
+    if n < 3:
+        return [p.copy() for p in poses]
+    src, dst, rels, weights = [], [], [], []
+    for a in range(n - 1):
+        fa, fb = kf_frames[a], kf_frames[a + 1]
+        src.append(a)
+        dst.append(a + 1)
+        rels.append(np.linalg.inv(poses[fa]) @ poses[fb])
+        weights.append(1.0)
+    for s in skips:
+        for a in range(n - s):
+            fa, fb = kf_frames[a], kf_frames[a + s]
+            T_rel, n_inl, n_map = verify_loop(frame_cache, poses, fb, fa, K,
+                                              inl_th=inl_th, key=key)
+            if T_rel is None or n_inl < min_inliers:
+                continue
+            src.append(a)
+            dst.append(a + s)
+            rels.append(T_rel)  # meas(fa→fb) = T_fa⁻¹ T_fb
+            weights.append(min(n_inl, 100) / 30.0)
+    if len(src) == n - 1:  # no skip edge verified: nothing to smooth
+        return [p.copy() for p in poses]
+    R_stack = jnp.asarray(np.stack([T[:3, :3] for T in rels]), jnp.float32)
+    t_stack = jnp.asarray(np.stack([T[:3, 3] for T in rels]), jnp.float32)
+    meas = Se3(So3.from_matrix(R_stack), t_stack)
+    kf_poses = [poses[k] for k in kf_frames]
+    node_R = jnp.asarray(np.stack([p[:3, :3] for p in kf_poses]), jnp.float32)
+    node_t = jnp.asarray(np.stack([p[:3, 3] for p in kf_poses]), jnp.float32)
+    nodes = Se3(So3.from_matrix(node_R), node_t)
+    graph = PoseGraph(jnp.asarray(src, jnp.int32),
+                      jnp.asarray(dst, jnp.int32), meas,
+                      jnp.asarray(weights, jnp.float32),
+                      jnp.ones(len(src), bool))
+    opt, _costs = optimize_pose_graph(nodes, graph, num_iters=pg_iters)
+    M = np.asarray(opt.matrix())
+    out = [p.copy() for p in poses]
+    for a, k in enumerate(kf_frames):
+        out[k] = M[a]
+    return out

@@ -435,6 +435,26 @@ class VisualOdometry:
         self._anchors = dict(anchors)
         return VOResult(poses=poses, num_inliers=inliers)
 
+    def smooth_keyframes(self, poses: List[np.ndarray],
+                         skips: Tuple[int, ...] = (2, 4),
+                         pg_iters: int = 60,
+                         key: Optional[jax.Array] = None
+                         ) -> List[np.ndarray]:
+        """Skip-edge pose-graph smoothing over the keyframe chain
+        (slam/loop_closure.py::smooth_keyframe_graph) + re-anchoring of
+        the in-between frames. Requires a prior `run`."""
+        if not hasattr(self, "kf_frames"):
+            raise RuntimeError("smooth_keyframes requires a prior run()")
+        from .loop_closure import smooth_keyframe_graph
+        f = 0.5 * float(self.K[0, 0] + self.K[1, 1])
+        out = smooth_keyframe_graph(self.frame_cache, poses, self.kf_frames,
+                                    np.asarray(self.K), skips=skips,
+                                    pg_iters=pg_iters,
+                                    inl_th=self.inl_th_px / f, key=key)
+        for fi, (kpos, T_rel) in self._anchors.items():
+            out[fi] = T_rel @ out[self.kf_frames[kpos]]
+        return out
+
     def refine_from_cache(self, poses: List[np.ndarray]
                           ) -> List[np.ndarray]:
         """Re-run the keyframe bundle adjustment from an UPDATED pose set
@@ -459,11 +479,19 @@ class VisualOdometry:
         return out
 
     # -- sliding-window BA over chained tracks ----------------------------
-    def _ba_window_fn(self, C: int, T_max: int, O_max: int):
+    def _ba_window_fn(self, C: int, T_max: int, O_max: int,
+                      fix_first: int = 2):
         """Jitted fixed-shape window BA: triangulate tracks from their
-        first/last observations, then LM with the first TWO cameras fixed
-        (monocular gauge: 6-dof frame + scale)."""
-        key = (C, T_max, O_max)
+        first/last observations, then LM with the first `fix_first`
+        cameras fixed. Sliding/incremental windows fix TWO (6-dof frame +
+        scale, so overlapping windows stay mutually consistent); the
+        GLOBAL pass fixes ONE — freezing keyframe 1's full pose would
+        hard-constrain its chained drift into the solution, and the
+        monocular scale gauge it was pinning is free to float (Sim3 ATE
+        alignment removes it; LM damping keeps the gauge direction tame).
+        Measured on the 100-frame degraded orbit: fix-2 global BA
+        DEGRADED the chain 10.8% -> 13.5%."""
+        key = (C, T_max, O_max, fix_first)
         cache = getattr(self, "_ba_jits", None)
         if cache is None:
             cache = self._ba_jits = {}
@@ -496,6 +524,36 @@ class VisualOdometry:
             problem = BAProblem(obs_cam, obs_trk, obs_uv, valid, K)
             state0 = BAState(Se3(So3.from_matrix(R_stack), t_stack),
                              jnp.where(ok[:, None], X, 1.0))
+            # CONTAMINATION gate (round-5): a track whose links chain two
+            # different physical features triangulates to garbage, and its
+            # init residuals are huge on EVERY observation — while a good
+            # track seen by a drifted camera is off only at that camera.
+            # The per-track MEAN init residual separates the two; gating
+            # at 2x the wide GNC delta removes merge-contaminated tracks
+            # the wide-huber phase would otherwise let drag the poses
+            # (measured: the 100-frame degraded orbit's global BA went
+            # from degrading the chain to improving it).
+            r0 = reprojection_residuals(state0, problem)
+            rn = jnp.minimum(jnp.linalg.norm(r0, axis=-1), 400.0)
+            cnt = jnp.zeros(T_max).at[obs_trk].add(valid.astype(jnp.float32))
+            rsum = jnp.zeros(T_max).at[obs_trk].add(jnp.where(valid, rn, 0.0))
+            rmean = rsum / jnp.maximum(cnt, 1.0)
+            ok = ok & (rmean < 2.0 * d_wide * s_px)
+            valid = obs_valid & ok[obs_trk]
+            problem = BAProblem(obs_cam, obs_trk, obs_uv, valid, K)
+            # STRUCTURE-ONLY init (round-5): first/last triangulation
+            # under a drifted chained init misplaces long-track points so
+            # badly that joint LM falls into a local minimum ~2x WORSE
+            # than the init (ba_probe.py on the 60-frame degraded orbit:
+            # gt-init converges to 2.8%, chained-init to 11.6% — the
+            # optimum is fine, the basin path isn't). Freezing ALL
+            # cameras for a few iterations pulls the points onto the
+            # chained geometry first, so the joint phases start with
+            # structure consistent with their own cameras.
+            state0, _cs = bundle_adjust(
+                state0, problem, C, T_max, num_iters=4,
+                robust="huber", robust_delta=d_wide * s_px,
+                fix_first_cam=C)
             # graduated non-convexity: a chained init can put a camera
             # 10+ degrees off (reprojections ~40 px), and a tight robust
             # kernel would zero those residuals' influence — so anneal the
@@ -503,11 +561,11 @@ class VisualOdometry:
             # the true outliers, then a tight re-gated huber polish
             state, c0 = bundle_adjust(
                 state0, problem, C, T_max, num_iters=max(ba_iters // 2, 4),
-                robust="huber", robust_delta=d_wide * s_px, fix_first_cam=2)
+                robust="huber", robust_delta=d_wide * s_px, fix_first_cam=fix_first)
             state, c1 = bundle_adjust(
                 state, problem, C, T_max, num_iters=ba_iters,
                 robust="cauchy", robust_delta=d_cauchy * s_px,
-                fix_first_cam=2)
+                fix_first_cam=fix_first)
             # re-gate observations at ~2 px-equivalent and polish with a
             # tight huber — removes the residual outlier bias smooth
             # weighting leaves
@@ -517,7 +575,7 @@ class VisualOdometry:
             problem2 = BAProblem(obs_cam, obs_trk, obs_uv, good, K)
             state, c2 = bundle_adjust(
                 state, problem2, C, T_max, num_iters=max(ba_iters // 2, 3),
-                robust="huber", robust_delta=d_tight * s_px, fix_first_cam=2)
+                robust="huber", robust_delta=d_tight * s_px, fix_first_cam=fix_first)
             return (state.poses.matrix(), state.points, ok,
                     jnp.concatenate([c0, c1, c2]))
 
@@ -549,6 +607,11 @@ class VisualOdometry:
             # ATE well short of what the same solver reaches from the
             # once-refined chain)
             windows = [(0, N), (0, N)]
+            poses = [p.copy() for p in poses]
+            for s, W in windows:
+                self._refine_span(kps, pair_next, pair_inl, poses, s, W,
+                                  fix_first=1)
+            return poses
         else:
             W = min(self.window, N)
             if W < 3:
@@ -562,8 +625,9 @@ class VisualOdometry:
             self._refine_span(kps, pair_next, pair_inl, poses, s, W)
         return poses
 
-    def _refine_span(self, kps, pair_next, pair_inl, poses, s: int, W: int):
-        """Bundle-adjust frames [s, s+W) in place (first two fixed).
+    def _refine_span(self, kps, pair_next, pair_inl, poses, s: int, W: int,
+                     fix_first: int = 2):
+        """Bundle-adjust frames [s, s+W) in place (first `fix_first` fixed).
 
         Returns the refined map depth table for frame s+W-1 — (Kf,) z in
         that camera, world scale, 0 where no refined track exists — or
@@ -583,7 +647,7 @@ class VisualOdometry:
             return None
         (obs_cam, obs_trk, obs_uv, obs_valid, first_cam, first_uv,
          last_cam, last_uv, trk_valid, kp_at_last) = built
-        ba = self._ba_window_fn(W, T_budget, O_budget)
+        ba = self._ba_window_fn(W, T_budget, O_budget, fix_first)
         R_stack = jnp.asarray(
             np.stack([poses[s + i][:3, :3] for i in range(W)]), jnp.float32)
         t_stack = jnp.asarray(
@@ -596,7 +660,7 @@ class VisualOdometry:
             jnp.asarray(last_cam, jnp.int32), jnp.asarray(last_uv),
             jnp.asarray(trk_valid), self.K.astype(jnp.float32))
         M = np.asarray(M)
-        for i in range(2, W):
+        for i in range(fix_first, W):
             poses[s + i] = M[i]
         # refined map for the newest frame: depth of each surviving track
         # in camera s+W-1
