@@ -107,6 +107,16 @@ def main():
     ap.add_argument("--gnc", type=float, nargs=3, default=None,
                     help="override GNC deltas (wide cauchy tight)")
     ap.add_argument("--no-incremental-ba", action="store_true")
+    ap.add_argument("--incremental-ba-mode", type=str, default=None,
+                    choices=("map-only",),
+                    help="map-only: incremental window BA refines the map "
+                         "fed to PnP but never writes poses back")
+    ap.add_argument("--window", type=int, default=None,
+                    help="override VO sliding/incremental window size")
+    ap.add_argument("--incremental-fix", type=int, default=None,
+                    help="fixed-prefix size of incremental windows "
+                         "(covisibility-anchor approximation)")
+    ap.add_argument("--global-ba-passes", type=int, default=None)
     ap.add_argument("--no-ba-map-feedback", action="store_true")
     ap.add_argument("--ba-track-budget", type=int, default=None,
                     help="override VO ba_track_budget (static track cap "
@@ -121,6 +131,11 @@ def main():
                     choices=("se3", "sim3"),
                     help="loop-closure pose-graph parameterization")
     ap.add_argument("--pg-iters", type=int, default=40)
+    ap.add_argument("--smooth-first", action="store_true",
+                    help="skip-edge pose-graph smoothing of the CHAINED "
+                         "poses, then global BA from that init "
+                         "(refine_from_cache) — tests whether the "
+                         "smoothed chain lands BA in a better basin")
     ap.add_argument("--kf-smooth", action="store_true",
                     help="skip-edge keyframe pose-graph smoothing after "
                          "refinement (smooth_keyframe_graph)")
@@ -179,6 +194,14 @@ def main():
         vo_kw["ba_track_budget"] = args.ba_track_budget
     if args.no_incremental_ba:
         vo_kw["incremental_ba"] = False
+    if args.incremental_ba_mode is not None:
+        vo_kw["incremental_ba"] = args.incremental_ba_mode
+    if args.window is not None:
+        vo_kw["window"] = args.window
+    if args.incremental_fix is not None:
+        vo_kw["incremental_fix"] = args.incremental_fix
+    if args.global_ba_passes is not None:
+        vo_kw["global_ba_passes"] = args.global_ba_passes
     if args.no_ba_map_feedback:
         vo_kw["ba_map_feedback"] = False
 
@@ -205,6 +228,14 @@ def main():
                                   jnp.asarray(gt_c), with_scale=True))
 
         a_ch, a_rf = ate(res_ch.poses), ate(res_rf.poses)
+        if args.smooth_first:
+            sm = vo.smooth_keyframes(res_ch.poses,
+                                     skips=tuple(args.kf_smooth_skips))
+            rf2 = vo.refine_from_cache(sm)
+            print(f"  [smooth-first] chained {100*a_ch/L:.2f}% -> smoothed "
+                  f"{100*ate(sm)/L:.2f}% -> BA {100*ate(rf2)/L:.2f}%")
+            res_rf = VOResult(poses=rf2, num_inliers=res_rf.num_inliers)
+            a_rf = ate(rf2)
         if args.kf_smooth:
             sm = vo.smooth_keyframes(res_rf.poses,
                                      skips=tuple(args.kf_smooth_skips))

@@ -81,7 +81,9 @@ class VisualOdometry:
                  gnc_deltas: Tuple[float, float, float] = (24.0, 2.0, 1.0),
                  ba_track_budget: int = 4096,
                  incremental_ba: bool = True,
-                 ba_map_feedback: bool = True):
+                 ba_map_feedback: bool = True,
+                 incremental_fix: int = 2,
+                 global_ba_passes: int = 2):
         self.K = K
         self.window = window
         self.ba_iters = ba_iters
@@ -111,6 +113,11 @@ class VisualOdometry:
         # local BA during tracking, and feed its refined map into PnP
         self.incremental_ba = incremental_ba
         self.ba_map_feedback = ba_map_feedback
+        # deeper fixed prefix for the incremental windows approximates
+        # ORB-SLAM's covisibility-anchored local BA (fixed outer keyframes
+        # constrain the bas-relief direction a free fixating window has)
+        self.incremental_fix = incremental_fix
+        self.global_ba_passes = global_ba_passes
         # corners (GFTT) give denser, better-distributed tracks than DoG
         # blobs for frame-to-frame odometry
         self.feature = GFTTSIFTFeature(num_features=num_features)
@@ -396,13 +403,24 @@ class VisualOdometry:
                 # incremental local BA (ORB-SLAM local-mapping role): refine
                 # the last <=W keyframes NOW, before the next tracking
                 # step — a bad step is corrected before its error
-                # contaminates the map and downstream initializations
+                # contaminates the map and downstream initializations.
+                # incremental_ba="map-only" (round-5): refine the MAP for
+                # PnP feedback but keep the chained poses — writing the
+                # window-BA poses back mid-run destroyed rotation-dominant
+                # trajectories (100-frame degraded loop: refined 5.3% with
+                # writes off vs 11-12% with writes on, regardless of map
+                # feedback) while the map feedback is what helps the
+                # forward walk (1.44% vs 2.31% without incremental BA)
                 s = max(0, kf_pos - W + 1)
                 kf_poses = [poses[k] for k in kf_frames]
                 ba_depth = self._refine_span(kf_kps, kf_next, kf_inl,
-                                             kf_poses, s, kf_pos - s + 1)
-                for j, k in enumerate(kf_frames):
-                    poses[k] = kf_poses[j]
+                                             kf_poses, s, kf_pos - s + 1,
+                                             fix_first=min(
+                                                 self.incremental_fix,
+                                                 kf_pos - s))
+                if self.incremental_ba != "map-only":
+                    for j, k in enumerate(kf_frames):
+                        poses[k] = kf_poses[j]
                 if ba_depth is not None and self.ba_map_feedback:
                     # PnP tracks against the BA-refined map where
                     # available; pair-triangulated depths fill the gaps
@@ -606,10 +624,9 @@ class VisualOdometry:
             # 100-frame degraded circuit: single pass leaves the refined
             # ATE well short of what the same solver reaches from the
             # once-refined chain)
-            windows = [(0, N), (0, N)]
             poses = [p.copy() for p in poses]
-            for s, W in windows:
-                self._refine_span(kps, pair_next, pair_inl, poses, s, W,
+            for _ in range(self.global_ba_passes):
+                self._refine_span(kps, pair_next, pair_inl, poses, 0, N,
                                   fix_first=1)
             return poses
         else:
