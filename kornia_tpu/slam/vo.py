@@ -81,9 +81,10 @@ class VisualOdometry:
                  gnc_deltas: Tuple[float, float, float] = (24.0, 2.0, 1.0),
                  ba_track_budget: int = 4096,
                  incremental_ba: bool = True,
-                 ba_map_feedback: bool = True,
+                 ba_map_feedback: bool = False,
                  incremental_fix: int = 2,
-                 global_ba_passes: int = 2):
+                 global_ba_passes: int = 2,
+                 incremental_rot_gate: float = 0.35):
         self.K = K
         self.window = window
         self.ba_iters = ba_iters
@@ -118,6 +119,15 @@ class VisualOdometry:
         # constrain the bas-relief direction a free fixating window has)
         self.incremental_fix = incremental_fix
         self.global_ba_passes = global_ba_passes
+        # incremental pose writes are gated on the window's ROTATION SPAN
+        # (geodesic angle first→last chained keyframe): a short-track
+        # window sweeping a large rotation is bas-relief ill-conditioned
+        # and its BA optimum is displaced — writing such poses mid-run
+        # destroyed the 100-frame circuit (refined 5.3% -> 11-12%) while
+        # the same writes were the walk's main gain (2.31% -> 1.44%) and
+        # benign on the orbit. 0.35 rad (~20°) cleanly separates the two
+        # regimes without per-sequence tuning.
+        self.incremental_rot_gate = incremental_rot_gate
         # corners (GFTT) give denser, better-distributed tracks than DoG
         # blobs for frame-to-frame odometry
         self.feature = GFTTSIFTFeature(num_features=num_features)
@@ -398,6 +408,7 @@ class VisualOdometry:
             n_match_kf = max(n_match, 1)
             skipped = 0
             depth_kf = depth_cur
+            cache_depth = depth_cur
             has_map = jnp.asarray(True)
             if refine and self.incremental_ba and kf_pos >= 2:
                 # incremental local BA (ORB-SLAM local-mapping role): refine
@@ -418,21 +429,32 @@ class VisualOdometry:
                                              fix_first=min(
                                                  self.incremental_fix,
                                                  kf_pos - s))
-                if self.incremental_ba != "map-only":
+                R_a = poses[kf_frames[s]][:3, :3]
+                R_b = poses[kf_frames[kf_pos]][:3, :3]
+                cos_span = 0.5 * (np.trace(R_b @ R_a.T) - 1.0)
+                rot_span = float(np.arccos(np.clip(cos_span, -1.0, 1.0)))
+                if (self.incremental_ba != "map-only"
+                        and rot_span <= self.incremental_rot_gate):
                     for j, k in enumerate(kf_frames):
                         poses[k] = kf_poses[j]
-                if ba_depth is not None and self.ba_map_feedback:
-                    # PnP tracks against the BA-refined map where
-                    # available; pair-triangulated depths fill the gaps
-                    # (new tracks not yet in a refined window)
+                if ba_depth is not None:
+                    # the loop-closure CACHE always gets the BA-refined
+                    # map (multi-baseline triangulation verifies revisits
+                    # better); PnP TRACKING feedback stays gated — it
+                    # destroyed the fixating orbit (20.8% vs 10.6%)
                     ba_d = jnp.asarray(ba_depth)
-                    depth_kf = jnp.where(ba_d > 0.0, ba_d, depth_kf)
+                    cache_depth = jnp.where(ba_d > 0.0, ba_d, depth_kf)
+                    if self.ba_map_feedback:
+                        # PnP tracks against the BA-refined map where
+                        # available; pair-triangulated depths fill the
+                        # gaps (new tracks not yet in a refined window)
+                        depth_kf = cache_depth
             R_kf = jnp.asarray(poses[i][:3, :3], jnp.float32)
             t_kf = jnp.asarray(poses[i][:3, 3], jnp.float32)
             self.frame_cache.append({"kp": np.asarray(kp_cur),
                                      "desc": np.asarray(d_cur),
                                      "valid": np.asarray(v_cur),
-                                     "depth": np.asarray(depth_kf)})
+                                     "depth": np.asarray(cache_depth)})
             kp_kf, d_kf, v_kf = kp_cur, d_cur, v_cur
         if refine and 3 <= len(kf_frames) <= self.global_ba_frames:
             # final smoothing pass over the keyframe chain (gauge anchored
