@@ -84,7 +84,7 @@ class VisualOdometry:
                  ba_map_feedback: bool = False,
                  incremental_fix: int = 2,
                  global_ba_passes: int = 2,
-                 incremental_rot_gate: float = 0.35):
+                 incremental_rot_gate: float = 0.2):
         self.K = K
         self.window = window
         self.ba_iters = ba_iters
@@ -125,8 +125,10 @@ class VisualOdometry:
         # and its BA optimum is displaced — writing such poses mid-run
         # destroyed the 100-frame circuit (refined 5.3% -> 11-12%) while
         # the same writes were the walk's main gain (2.31% -> 1.44%) and
-        # benign on the orbit. 0.35 rad (~20°) cleanly separates the two
-        # regimes without per-sequence tuning.
+        # benign on the orbit. 0.2 rad: measured window spans are ~0.11
+        # (walk) / ~0.14 (orbit) vs >=0.3 rad on the rotating circuit
+        # even in its slowest-yaw quarter (a 0.35 first guess leaked
+        # writes there and re-broke the circuit).
         self.incremental_rot_gate = incremental_rot_gate
         # corners (GFTT) give denser, better-distributed tracks than DoG
         # blobs for frame-to-frame odometry
