@@ -319,6 +319,8 @@ def main():
             "config": {"frames": args.frames, "size": [H, W],
                        "features": args.features, "degrade": args.degrade,
                        "device": jax.devices()[0].platform,
+                       "vo_overrides": dict(vo_kw, ransac_iters=args
+                                            .ransac_iters),
                        "note": "rendered exact-GT sequences "
                                "(utils/render.py); ATE RMSE after Sim3 "
                                "alignment; reference = kornia 5-pt RANSAC "
