@@ -309,8 +309,14 @@ class RandomCLAHE(IntensityAugmentationBase2D):
 
 
 class RandomAutoContrast(IntensityAugmentationBase2D):
+    def __init__(self, clip_output: bool = True, **kw):
+        super().__init__(**kw)
+        self.clip_output = clip_output
+
     def apply(self, x, params):
-        return E.normalize_min_max(x)
+        out = E.normalize_min_max(x)
+        # reference auto_contrast.py:60 clamps by default
+        return jnp.clip(out, 0.0, 1.0) if self.clip_output else out
 
 
 class RandomInvert(IntensityAugmentationBase2D):
@@ -432,26 +438,47 @@ class RandomRGBShift(IntensityAugmentationBase2D):
         return E.shift_rgb(x, params["r"], params["g"], params["b"])
 
 
+# Planckian-locus r/b gain tables from the Planckian Jitter paper
+# (Zini et al. 2022), identical to the reference's published constants
+# (_2d/intensity/planckian_jitter.py pl tables) — round-5 parity batch 3
+# caught the previous 14-entry CIE approximation deviating up to 9e-2
 _PLANCKIAN_BLACKBODY = jnp.array(
-    # (temperature-indexed r/b gains, 3000K..15000K in 14 steps; CIE approx)
-    [[1.7317, 0.5217], [1.5521, 0.5963], [1.4103, 0.6686], [1.2973, 0.7371],
-     [1.2061, 0.8012], [1.1317, 0.8608], [1.0702, 0.9159], [1.0189, 0.9668],
-     [0.9756, 1.0137], [0.9387, 1.0571], [0.9071, 1.0972], [0.8797, 1.1343],
-     [0.8557, 1.1687], [0.8347, 1.2007]])
+    [[1.6736, 0.0032], [1.4810, 0.3926], [1.3538, 0.5748], [1.2616, 0.7077],
+     [1.1907, 0.8133], [1.1335, 0.9008], [1.0862, 0.9747], [1.0460, 1.0387],
+     [1.0115, 1.0940], [0.9810, 1.1423], [0.9543, 1.1852], [0.9302, 1.2233],
+     [0.9086, 1.2573], [0.8891, 1.2879], [0.8713, 1.3155], [0.8552, 1.3406],
+     [0.8402, 1.3633], [0.8262, 1.3840], [0.8134, 1.4029], [0.8015, 1.4203],
+     [0.7905, 1.4367], [0.7802, 1.4513], [0.7704, 1.4651], [0.7615, 1.4779],
+     [0.7528, 1.4900]])
+_PLANCKIAN_CIED = jnp.array(
+    [[1.3185, 0.5175], [1.2206, 0.6531], [1.1464, 0.7622], [1.0873, 0.8534],
+     [1.0387, 0.9309], [0.9972, 0.9972], [0.9618, 1.0549], [0.9301, 1.1053],
+     [0.9021, 1.1496], [0.8772, 1.1889], [0.8543, 1.2238], [0.8334, 1.2548],
+     [0.8142, 1.2829], [0.7966, 1.3085], [0.7804, 1.3316], [0.7649, 1.3523],
+     [0.7508, 1.3715], [0.7374, 1.3891], [0.7249, 1.4052], [0.7131, 1.4202],
+     [0.7021, 1.4338], [0.6915, 1.4465], [0.6817, 1.4584]])
 
 
 class RandomPlanckianJitter(IntensityAugmentationBase2D):
     """Physically-plausible white-balance jitter
-    (reference: _2d/intensity/planckian_jitter.py)."""
+    (reference: _2d/intensity/planckian_jitter.py). mode: 'blackbody'
+    (25 illuminants) or 'CIED' (23)."""
+
+    def __init__(self, mode: str = "blackbody", **kw):
+        super().__init__(**kw)
+        if mode not in ("blackbody", "CIED"):
+            raise ValueError(f"mode must be blackbody or CIED, got {mode}")
+        self.pl = (_PLANCKIAN_BLACKBODY if mode == "blackbody"
+                   else _PLANCKIAN_CIED)
 
     def sample_params(self, key, batch, shape):
-        n = _PLANCKIAN_BLACKBODY.shape[0]
+        n = self.pl.shape[0]
         if self.same_on_batch:
             i = jax.random.randint(key, (), 0, n)
             idx = jnp.broadcast_to(i, (batch,))
         else:
             idx = jax.random.randint(key, (batch,), 0, n)
-        return {"gains": _PLANCKIAN_BLACKBODY[idx]}
+        return {"gains": self.pl[idx]}
 
     def apply(self, x, params):
         g = params["gains"]

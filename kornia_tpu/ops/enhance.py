@@ -402,10 +402,13 @@ def denormalize(image: jax.Array, mean, std) -> jax.Array:
 
 def normalize_min_max(image: jax.Array, min_val: float = 0.0, max_val: float = 1.0,
                       eps: float = 1e-6) -> jax.Array:
+    """PER-CHANNEL min-max rescale to [min_val, max_val] (reference:
+    enhance/normalize.py:305 reduces over (B, C, -1), NOT per-image —
+    round-5 parity batch 3 caught the per-image variant at 7e-3 off)."""
     image = as_float(image)
-    B = image.shape[0]
-    mn = jnp.min(image.reshape(B, -1), axis=-1).reshape(B, 1, 1, 1)
-    mx = jnp.max(image.reshape(B, -1), axis=-1).reshape(B, 1, 1, 1)
+    B, C = image.shape[0], image.shape[1]
+    mn = jnp.min(image.reshape(B, C, -1), axis=-1).reshape(B, C, 1, 1)
+    mx = jnp.max(image.reshape(B, C, -1), axis=-1).reshape(B, C, 1, 1)
     return (max_val - min_val) * (image - mn) / (mx - mn + eps) + min_val
 
 
